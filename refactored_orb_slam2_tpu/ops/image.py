@@ -1,0 +1,91 @@
+"""Image-plane kernels: grayscale, Gaussian blur, pyramid.
+
+Replaces the reference's OpenCV calls: ``cvtColor`` (Tracking.cc:225-246),
+``GaussianBlur(7x7, sigma=2)`` before descriptor sampling
+(ORBextractor.cc:1026), and ``cv::resize`` pyramid construction
+(ComputePyramid, ORBextractor.cc:1041-1065).  Everything is static-shape and
+fuses into the single jitted extraction program.
+
+Images are ``(H, W)`` float32 in [0, 255] (matching 8-bit gray levels so
+FAST thresholds keep their reference meaning).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def rgb_to_gray(img: jax.Array, bgr: bool = False) -> jax.Array:
+    """(H, W, 3) -> (H, W) using BT.601 weights (cv::cvtColor RGB2GRAY)."""
+    w = jnp.asarray([0.299, 0.587, 0.114], dtype=jnp.float32)
+    if bgr:
+        w = w[::-1]
+    return jnp.tensordot(img.astype(jnp.float32), w, axes=[[-1], [0]])
+
+
+@functools.lru_cache(maxsize=None)
+def _gaussian_kernel1d(ksize: int, sigma: float) -> np.ndarray:
+    # cv::getGaussianKernel formula
+    half = (ksize - 1) / 2.0
+    x = np.arange(ksize) - half
+    k = np.exp(-(x * x) / (2.0 * sigma * sigma))
+    return (k / k.sum()).astype(np.float32)
+
+
+def gaussian_blur(img: jax.Array, ksize: int = 7, sigma: float = 2.0) -> jax.Array:
+    """Separable Gaussian blur with reflect-101 borders (OpenCV default)."""
+    k = jnp.asarray(_gaussian_kernel1d(ksize, sigma))
+    pad = ksize // 2
+    x = jnp.pad(img, ((pad, pad), (0, 0)), mode="reflect")
+    x = jax.lax.conv_general_dilated(
+        x[None, None, :, :], k[None, None, :, None],
+        window_strides=(1, 1), padding="VALID",
+    )[0, 0]
+    x = jnp.pad(x, ((0, 0), (pad, pad)), mode="reflect")
+    x = jax.lax.conv_general_dilated(
+        x[None, None, :, :], k[None, None, None, :],
+        window_strides=(1, 1), padding="VALID",
+    )[0, 0]
+    return x
+
+
+def resize_bilinear(img: jax.Array, out_h: int, out_w: int) -> jax.Array:
+    """Bilinear resize with half-pixel centers (cv::resize INTER_LINEAR)."""
+    return jax.image.resize(img, (out_h, out_w), method="linear", antialias=False)
+
+
+def pyramid_shapes(h: int, w: int, n_levels: int, scale_factor: float):
+    """Static per-level (H, W) shapes, floor-rounded like the reference
+    (ORBextractor.cc:1045: cvRound(W/scale))."""
+    shapes = []
+    for lv in range(n_levels):
+        s = scale_factor ** lv
+        shapes.append((int(round(h / s)), int(round(w / s))))
+    return shapes
+
+
+def build_pyramid(img: jax.Array, n_levels: int, scale_factor: float):
+    """List of per-level images, each resized from the previous level
+    (matches the reference's chained resize, which differs slightly from
+    resizing level 0 directly)."""
+    h, w = img.shape
+    shapes = pyramid_shapes(h, w, n_levels, scale_factor)
+    out = [img]
+    for lv in range(1, n_levels):
+        out.append(resize_bilinear(out[-1], *shapes[lv]))
+    return out
+
+
+def scale_factors(n_levels: int, scale_factor: float) -> np.ndarray:
+    return np.asarray([scale_factor ** lv for lv in range(n_levels)], dtype=np.float32)
+
+
+def level_sigma2(n_levels: int, scale_factor: float) -> np.ndarray:
+    """Per-octave variance used as information weights in the optimizers
+    (mvLevelSigma2, ORBextractor ctor; consumed at Optimizer.cc:111)."""
+    return scale_factors(n_levels, scale_factor) ** 2
