@@ -1,0 +1,215 @@
+"""The SLAM map as fixed-shape arrays (structure-of-arrays, functional updates).
+
+Replaces the reference's pointer-graph map — Map (Map.cc), KeyFrame
+(KeyFrame.cc), MapPoint (MapPoint.cc) — and its mutex discipline with
+immutable padded banks + validity masks.  Tombstones (``SetBadFlag``) become
+cleared valid bits; the "visited marker" scratch fields
+(mnTrackReferenceForFrame & co.) become ephemeral masks computed on demand;
+the big map-update lock becomes functional snapshots (readers keep the old
+arrays, writers produce new ones).
+
+Capacities are static (from MapConfig): K keyframe slots x N feature slots,
+P point slots x O observation slots.  All update functions are jit-safe and
+return a new MapState.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.config import MapConfig
+
+
+class MapState(NamedTuple):
+    """Device-resident map banks.  Invalid slots are masked, never read."""
+
+    # --- keyframe bank ----------------------------------------------------
+    kf_pose: jax.Array        # (K, 4, 4) Tcw
+    kf_valid: jax.Array       # (K,) bool
+    kf_frame_id: jax.Array    # (K,) int32 source frame index
+    # per-keyframe feature banks (snapshot of the Frame at insertion)
+    kf_xy: jax.Array          # (K, N, 2) float32 undistorted keypoint coords
+    kf_uvr: jax.Array         # (K, N, 3) float32 (u, v, uR); uR<0 => mono obs
+    kf_octave: jax.Array      # (K, N) int32
+    kf_angle: jax.Array       # (K, N) float32 degrees
+    kf_desc: jax.Array        # (K, N, 8) uint32 packed rBRIEF
+    kf_feat_valid: jax.Array  # (K, N) bool
+    kf_point_idx: jax.Array   # (K, N) int32 map-point slot per feature (-1)
+    # --- map-point bank ---------------------------------------------------
+    pt_pos: jax.Array         # (P, 3) world position
+    pt_valid: jax.Array       # (P,) bool
+    pt_desc: jax.Array        # (P, 8) uint32 distinctive descriptor
+    pt_normal: jax.Array      # (P, 3) mean viewing direction
+    pt_min_dist: jax.Array    # (P,) scale-invariance band (MapPoint.cc:383-391)
+    pt_max_dist: jax.Array    # (P,)
+    pt_ref_kf: jax.Array      # (P,) int32 reference keyframe slot
+    pt_first_kf: jax.Array    # (P,) int32 kf slot that created the point
+    pt_visible: jax.Array     # (P,) int32 times predicted visible
+    pt_found: jax.Array       # (P,) int32 times actually matched
+    # observation incidence, point-major (transpose of kf_point_idx)
+    pt_obs_kf: jax.Array      # (P, O) int32 keyframe slot (-1 empty)
+    pt_obs_feat: jax.Array    # (P, O) int32 feature slot in that keyframe
+    # --- graph ------------------------------------------------------------
+    kf_parent: jax.Array      # (K,) int32 spanning-tree parent (-1 root)
+    kf_loop_edges: jax.Array  # (K, 8) int32 loop edge targets (-1 empty)
+
+    @property
+    def capacity(self):
+        K, N = self.kf_feat_valid.shape
+        P, O = self.pt_obs_kf.shape
+        return K, N, P, O
+
+
+def create_empty(cfg: MapConfig, n_feat_slots: int) -> MapState:
+    K, P, O = cfg.max_keyframes, cfg.max_points, cfg.max_obs_per_point
+    N = n_feat_slots
+    f32, i32 = jnp.float32, jnp.int32
+    return MapState(
+        kf_pose=jnp.tile(jnp.eye(4, dtype=f32), (K, 1, 1)),
+        kf_valid=jnp.zeros(K, bool),
+        kf_frame_id=jnp.full(K, -1, i32),
+        kf_xy=jnp.zeros((K, N, 2), f32),
+        kf_uvr=jnp.full((K, N, 3), -1.0, f32),
+        kf_octave=jnp.zeros((K, N), i32),
+        kf_angle=jnp.zeros((K, N), f32),
+        kf_desc=jnp.zeros((K, N, 8), jnp.uint32),
+        kf_feat_valid=jnp.zeros((K, N), bool),
+        kf_point_idx=jnp.full((K, N), -1, i32),
+        pt_pos=jnp.zeros((P, 3), f32),
+        pt_valid=jnp.zeros(P, bool),
+        pt_desc=jnp.zeros((P, 8), jnp.uint32),
+        pt_normal=jnp.zeros((P, 3), f32),
+        pt_min_dist=jnp.zeros(P, f32),
+        pt_max_dist=jnp.zeros(P, f32),
+        pt_ref_kf=jnp.full(P, -1, i32),
+        pt_first_kf=jnp.full(P, -1, i32),
+        pt_visible=jnp.zeros(P, i32),
+        pt_found=jnp.zeros(P, i32),
+        pt_obs_kf=jnp.full((P, O), -1, i32),
+        pt_obs_feat=jnp.full((P, O), -1, i32),
+        kf_parent=jnp.full(K, -1, i32),
+        kf_loop_edges=jnp.full((K, 8), -1, i32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Covisibility graph (replaces KeyFrame::UpdateConnections, KeyFrame.cc:268-354)
+# ---------------------------------------------------------------------------
+
+def covisibility_matrix(state: MapState) -> jax.Array:
+    """(K, K) int32 weights: number of map points seen by both keyframes.
+
+    One segment-sum over observation slot pairs; diagonal zeroed.
+    """
+    K, N, P, O = state.capacity
+    kf = state.pt_obs_kf                          # (P, O)
+    valid = (kf >= 0) & state.pt_valid[:, None]
+    kfc = jnp.clip(kf, 0)
+    W = jnp.zeros((K * K,), jnp.int32)
+    for o1 in range(O):
+        for o2 in range(O):
+            if o1 == o2:
+                continue
+            pair_ok = valid[:, o1] & valid[:, o2]
+            seg = kfc[:, o1] * K + kfc[:, o2]
+            W = W + jax.ops.segment_sum(
+                pair_ok.astype(jnp.int32), seg, num_segments=K * K
+            )
+    W = W.reshape(K, K)
+    return W * (1 - jnp.eye(K, dtype=jnp.int32))
+
+
+def best_covisible(weights: jax.Array, kf: jax.Array, top_k: int):
+    """Top-k covisible neighbors of keyframe ``kf`` (GetBestCovisibilityKeyFrames)."""
+    w = weights[kf]
+    vals, idx = jax.lax.top_k(w, top_k)
+    return jnp.where(vals > 0, idx, -1), vals
+
+
+# ---------------------------------------------------------------------------
+# Point statistics (replaces MapPoint::ComputeDistinctiveDescriptors /
+# UpdateNormalAndDepth, MapPoint.cc:229-391)
+# ---------------------------------------------------------------------------
+
+def update_point_stats(
+    state: MapState, scale_factor: float, n_levels: int
+) -> MapState:
+    """Recompute distinctive descriptor, normal, and distance band for all
+    valid points from their current observations.  Fully batched.
+    """
+    P, O = state.pt_obs_kf.shape
+    kfc = jnp.clip(state.pt_obs_kf, 0)
+    ftc = jnp.clip(state.pt_obs_feat, 0)
+    obs_ok = (state.pt_obs_kf >= 0) & state.pt_valid[:, None]
+    obs_ok = obs_ok & jnp.take(state.kf_valid, kfc)
+
+    # descriptors of all observations: (P, O, 8)
+    descs = state.kf_desc[kfc, ftc]
+    from ..ops.descriptors import unpack_pm1
+
+    pm1 = unpack_pm1(descs, dtype=jnp.float32)         # (P, O, 256)
+    # pairwise Hamming inside each point's observation set
+    dots = jnp.einsum("poi,pqi->poq", pm1, pm1)
+    ham = (256.0 - dots) * 0.5
+    big = 1e9
+    pair_ok = obs_ok[:, :, None] & obs_ok[:, None, :]
+    ham = jnp.where(pair_ok, ham, big)
+    # median distance to others per observation ~ reference takes median;
+    # sum is an equivalent minimizer for typical O and cheaper
+    ham_sum = jnp.where(obs_ok, jnp.sum(jnp.where(pair_ok, ham, 0.0), axis=2), big)
+    best_obs = jnp.argmin(ham_sum, axis=1)
+    new_desc = descs[jnp.arange(P), best_obs]
+    has_obs = jnp.any(obs_ok, axis=1)
+    pt_desc = jnp.where(has_obs[:, None], new_desc, state.pt_desc)
+
+    # normals: mean of unit vectors from camera centres to the point
+    Twc_R = jnp.swapaxes(state.kf_pose[:, :3, :3], 1, 2)     # (K,3,3)
+    centers = -jnp.einsum("kij,kj->ki", Twc_R, state.kf_pose[:, :3, 3])
+    cam_c = centers[kfc]                                     # (P, O, 3)
+    vec = state.pt_pos[:, None, :] - cam_c
+    n = vec / (jnp.linalg.norm(vec, axis=-1, keepdims=True) + 1e-12)
+    normal = jnp.sum(jnp.where(obs_ok[..., None], n, 0.0), axis=1)
+    cnt = jnp.maximum(jnp.sum(obs_ok, axis=1), 1)
+    normal = normal / cnt[:, None]
+    nn = jnp.linalg.norm(normal, axis=-1, keepdims=True)
+    normal = normal / jnp.where(nn < 1e-12, 1.0, nn)
+    pt_normal = jnp.where(has_obs[:, None], normal, state.pt_normal)
+
+    # distance band from the reference observation's octave
+    # (MapPoint.cc:365-380: dist * scale^level relative to ref KF)
+    ref_slot = best_obs  # use the distinctive obs as reference
+    ref_kf = kfc[jnp.arange(P), ref_slot]
+    ref_ft = ftc[jnp.arange(P), ref_slot]
+    dist_ref = jnp.linalg.norm(state.pt_pos - centers[ref_kf], axis=-1)
+    level = state.kf_octave[ref_kf, ref_ft]
+    level_sf = scale_factor ** level.astype(jnp.float32)
+    max_dist = dist_ref * level_sf
+    min_dist = max_dist / (scale_factor ** (n_levels - 1))
+    pt_max = jnp.where(has_obs, max_dist, state.pt_max_dist)
+    pt_min = jnp.where(has_obs, min_dist, state.pt_min_dist)
+
+    return state._replace(
+        pt_desc=pt_desc, pt_normal=pt_normal,
+        pt_min_dist=pt_min, pt_max_dist=pt_max,
+    )
+
+
+def predict_scale(
+    state_dist: jax.Array, max_dist: jax.Array, scale_factor: float, n_levels: int
+) -> jax.Array:
+    """Octave prediction from distance (MapPoint::PredictScale, MapPoint.cc:393-423)."""
+    ratio = max_dist / jnp.maximum(state_dist, 1e-9)
+    level = jnp.ceil(jnp.log(ratio) / np.log(scale_factor)).astype(jnp.int32)
+    return jnp.clip(level, 0, n_levels - 1)
+
+
+def n_observations(state: MapState) -> jax.Array:
+    """(P,) int32 observation counts (MapPoint::Observations)."""
+    ok = (state.pt_obs_kf >= 0) & jnp.take(
+        state.kf_valid, jnp.clip(state.pt_obs_kf, 0)
+    )
+    return jnp.sum(ok.astype(jnp.int32), axis=1)
