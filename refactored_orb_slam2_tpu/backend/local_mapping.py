@@ -1,0 +1,215 @@
+"""Local mapping operations: point fusion, culling, and statistics upkeep.
+
+Array-native replacements for the reference's LocalMapping thread duties:
+- ``fuse_into_keyframe``  = ORBmatcher::Fuse + MapPoint::Replace
+  (ORBmatcher.cc:766-907, MapPoint.cc:172-206, driven by
+  LocalMapping::SearchInNeighbors LocalMapping.cc:425-509).  Projects map
+  points into a keyframe; features already holding a *different* point
+  trigger a merge (the point with more observations wins), unmatched
+  features gain an observation.
+- ``cull_map_points``     = LocalMapping::MapPointCulling
+  (LocalMapping.cc:155-183): found/visible ratio < 0.25, or too few
+  observations shortly after creation.
+- ``update_visibility``   = the mbTrackInView / IncreaseVisible /
+  IncreaseFound statistics the tracker maintains (Tracking.cc:1034-1088).
+
+Without fusion, every keyframe's depth-created points duplicate existing
+landmarks with the current pose error baked in, and window-gated matching
+then preferentially locks onto the drifted copies — the classic positive
+feedback the reference's SearchInNeighbors exists to prevent.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry import se3
+from ..geometry.camera import Camera
+from ..models.map_state import MapState, predict_scale, n_observations
+from ..ops import matching as M
+from ..ops.descriptors import hamming
+
+
+def fuse_into_keyframe(
+    state: MapState,
+    kf_slot: jax.Array,
+    cam: Camera,
+    *,
+    budget: int,
+    scale_factor: float,
+    n_levels: int,
+    th: float = 3.0,
+    max_dist: int = 50,     # TH_LOW (ORBmatcher.cc:849)
+) -> MapState:
+    """Project map points into keyframe ``kf_slot``; add observations for
+    unmatched features and merge duplicate landmarks.
+    """
+    K, N, P, O = state.capacity
+    Tcw = state.kf_pose[kf_slot]
+
+    # --- frustum-select candidate points (not already in this KF) ---------
+    observed_here = jnp.any(state.pt_obs_kf == kf_slot, axis=1)
+    pc = se3.transform(Tcw, state.pt_pos)
+    z = pc[:, 2]
+    z_ok = z > 1e-3
+    z_safe = jnp.where(z_ok, z, 1.0)
+    u = cam.fx * pc[:, 0] / z_safe + cam.cx
+    v = cam.fy * pc[:, 1] / z_safe + cam.cy
+    in_img = (u >= 0) & (u < cam.width) & (v >= 0) & (v < cam.height)
+    Twc = se3.inv(Tcw)
+    center = se3.translation(Twc)
+    po = state.pt_pos - center
+    dist = jnp.linalg.norm(po, axis=-1)
+    dist_ok = (dist >= 0.8 * state.pt_min_dist) & (dist <= 1.2 * state.pt_max_dist)
+    view_cos = jnp.sum(po * state.pt_normal, axis=-1) / jnp.maximum(dist, 1e-9)
+    ok = state.pt_valid & z_ok & in_img & dist_ok & (view_cos > 0.5) & ~observed_here
+    score = jnp.where(ok, -dist, -jnp.inf)
+    top_score, top_idx = jax.lax.top_k(score, budget)
+    sel_ok = jnp.isfinite(top_score)
+    pred = predict_scale(
+        jnp.take(dist, top_idx), jnp.take(state.pt_max_dist, top_idx),
+        scale_factor, n_levels,
+    )
+    uv_sel = jnp.stack([jnp.take(u, top_idx), jnp.take(v, top_idx)], axis=-1)
+
+    # --- match against this keyframe's features ---------------------------
+    sf = jnp.asarray(
+        [scale_factor ** i for i in range(n_levels)], dtype=jnp.float32
+    )
+    radius = th * jnp.take(sf, jnp.clip(pred, 0, n_levels - 1))
+    feat_xy = state.kf_xy[kf_slot]
+    feat_valid = state.kf_feat_valid[kf_slot]
+    geo = M.window_mask(uv_sel, feat_xy, radius)
+    geo = geo & M.octave_band_mask(pred, state.kf_octave[kf_slot], -1, 1)
+    dmat = hamming(state.pt_desc[jnp.clip(top_idx, 0)], state.kf_desc[kf_slot])
+    res = M.nn_match(
+        dmat, row_valid=sel_ok, col_valid=feat_valid,
+        extra_mask=geo, max_dist=max_dist,
+    )
+    res = M.resolve_duplicates(res, N)
+
+    # candidate point per feature (-1 none)
+    cand_pt = jnp.full((N,), -1, jnp.int32)
+    col = jnp.where(res.mask, res.idx, N)
+    cand_pt = cand_pt.at[col].set(
+        jnp.where(res.mask, top_idx, -1).astype(jnp.int32), mode="drop"
+    )
+
+    existing_pt = state.kf_point_idx[kf_slot]                # (N,)
+    n_obs = n_observations(state)                            # (P,)
+
+    # --- case A: feature has no point -> add observation ------------------
+    add_pt = jnp.where((existing_pt < 0) & (cand_pt >= 0), cand_pt, -1)
+    # --- case B: feature has a different point -> merge -------------------
+    merge_mask = (existing_pt >= 0) & (cand_pt >= 0) & (existing_pt != cand_pt)
+    pe = jnp.clip(existing_pt, 0)
+    pcand = jnp.clip(cand_pt, 0)
+    cand_wins = jnp.take(n_obs, pcand) >= jnp.take(n_obs, pe)
+    loser = jnp.where(cand_wins, pe, pcand)
+    winner = jnp.where(cand_wins, pcand, pe)
+
+    # point remap table: loser -> winner
+    remap = jnp.arange(P, dtype=jnp.int32)
+    remap = remap.at[jnp.where(merge_mask, loser, P)].set(
+        jnp.where(merge_mask, winner, 0).astype(jnp.int32), mode="drop"
+    )
+    # one hop is enough (losers have strictly fewer obs than winners;
+    # chains are rare and collapse next fuse round)
+    new_kf_point_idx = jnp.where(
+        state.kf_point_idx >= 0,
+        remap[jnp.clip(state.kf_point_idx, 0)],
+        state.kf_point_idx,
+    )
+    # invalidate losers; transfer their observations to the winner where the
+    # winner has free slots
+    is_loser = remap != jnp.arange(P, dtype=jnp.int32)
+    pt_valid = state.pt_valid & ~is_loser
+
+    # transfer: for each winner row, pull the loser's observation list into
+    # free slots.  (One loser per winner per fuse round in practice; extra
+    # losers drop their observations.)
+    loser_of = jnp.full((P,), -1, jnp.int32).at[
+        jnp.where(merge_mask, winner, P)
+    ].set(jnp.where(merge_mask, loser, -1).astype(jnp.int32), mode="drop")
+    has_loser = loser_of >= 0
+    l_idx = jnp.clip(loser_of, 0)
+    l_obs_kf = jnp.where(has_loser[:, None], state.pt_obs_kf[l_idx], -1)
+    l_obs_ft = jnp.where(has_loser[:, None], state.pt_obs_feat[l_idx], -1)
+    # pack: winner's own obs first, then loser's, then pad; keep first O
+    cat_kf = jnp.concatenate([state.pt_obs_kf, l_obs_kf], axis=1)     # (P, 2O)
+    cat_ft = jnp.concatenate([state.pt_obs_feat, l_obs_ft], axis=1)
+    order = jnp.argsort(jnp.where(cat_kf >= 0, 0, 1), axis=1, stable=True)
+    cat_kf = jnp.take_along_axis(cat_kf, order, axis=1)[:, :O]
+    cat_ft = jnp.take_along_axis(cat_ft, order, axis=1)[:, :O]
+    pt_obs_kf = jnp.where(pt_valid[:, None], cat_kf, -1)
+    pt_obs_feat = jnp.where(pt_valid[:, None], cat_ft, -1)
+
+    s = state._replace(
+        kf_point_idx=new_kf_point_idx,
+        pt_valid=pt_valid,
+        pt_obs_kf=pt_obs_kf,
+        pt_obs_feat=pt_obs_feat,
+    )
+    # register case-A observations (and the merged feature's winner if the
+    # feature slot was previously pointing at the loser it's handled by remap)
+    from ..models.map_ops import add_observations
+
+    s = add_observations(s, kf_slot, add_pt)
+    kf_pt = s.kf_point_idx[kf_slot]
+    kf_pt = jnp.where(add_pt >= 0, add_pt, kf_pt)
+    s = s._replace(kf_point_idx=s.kf_point_idx.at[kf_slot].set(kf_pt))
+    return s
+
+
+def update_visibility(
+    state: MapState,
+    visible_pt: jax.Array,    # (B,) point slots predicted visible (-1 pad)
+    found_pt: jax.Array,      # (N,) point slots actually matched (-1 pad)
+) -> MapState:
+    """IncreaseVisible / IncreaseFound counters (MapPoint.cc:214-227)."""
+    P = state.pt_visible.shape[0]
+    vis_idx = jnp.where(visible_pt >= 0, visible_pt, P)
+    pt_visible = state.pt_visible.at[vis_idx].add(1, mode="drop")
+    fnd_idx = jnp.where(found_pt >= 0, found_pt, P)
+    pt_found = state.pt_found.at[fnd_idx].add(1, mode="drop")
+    return state._replace(pt_visible=pt_visible, pt_found=pt_found)
+
+
+def cull_map_points(
+    state: MapState,
+    current_kf: jax.Array,
+    recent_window: int = 2,
+    min_found_ratio: float = 0.25,
+    min_obs_mono: int = 2,
+    min_obs_stereo: int = 3,
+) -> MapState:
+    """MapPointCulling (LocalMapping.cc:155-183), batched.
+
+    Culls points whose found/visible ratio is below 0.25, and recently
+    created points (first_kf within ``recent_window`` keyframes of current)
+    with fewer than 3 observations.
+    """
+    n_obs = n_observations(state)
+    ratio = state.pt_found.astype(jnp.float32) / jnp.maximum(
+        state.pt_visible.astype(jnp.float32), 1.0
+    )
+    seen_enough = state.pt_visible >= 3   # only judge points with history
+    bad_ratio = seen_enough & (ratio < min_found_ratio)
+    age = current_kf - state.pt_first_kf
+    recent = (age >= recent_window) & (age <= recent_window + 1)
+    too_few = recent & (n_obs < min_obs_stereo)
+    cull = state.pt_valid & (bad_ratio | too_few)
+    pt_valid = state.pt_valid & ~cull
+    # drop their observations from both sides
+    K, N, P, O = state.capacity
+    kf_pt = state.kf_point_idx
+    pt_of_feat_culled = jnp.take(cull, jnp.clip(kf_pt, 0)) & (kf_pt >= 0)
+    kf_point_idx = jnp.where(pt_of_feat_culled, -1, kf_pt)
+    return state._replace(
+        pt_valid=pt_valid,
+        kf_point_idx=kf_point_idx,
+        pt_obs_kf=jnp.where(cull[:, None], -1, state.pt_obs_kf),
+        pt_obs_feat=jnp.where(cull[:, None], -1, state.pt_obs_feat),
+    )

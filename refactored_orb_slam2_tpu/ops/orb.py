@@ -121,6 +121,26 @@ def _extract_level(
     valid = top_rank > 0.0
     response = jnp.take(score.reshape(-1), top_idx)
 
+    # sub-pixel corner refinement: quadratic fit on the FAST score surface.
+    # Integer corners carry +/-0.5 px quantization that is *correlated*
+    # across the corners of one structure (shared sub-pixel phase), which
+    # biases pose estimates; the parabola fit removes it.  (Improvement
+    # over the reference, which keeps integer FAST corners.)
+    def parab(sm, sc, sp):
+        denom = sm + sp - 2.0 * sc
+        d = jnp.where(jnp.abs(denom) > 1e-6, 0.5 * (sm - sp) / denom, 0.0)
+        return jnp.clip(d, -0.5, 0.5)
+
+    # NMS zeroes neighbours on the sparse score map; fit on the dense
+    # pre-NMS corner score instead
+    dense = jnp.where(corner, score_ini, 0.0)
+
+    def sample_d(dy, dx):
+        return dense[jnp.clip(ys + dy, 0, h - 1), jnp.clip(xs + dx, 0, w - 1)]
+
+    sub_x = parab(sample_d(0, -1), sample_d(0, 0), sample_d(0, 1))
+    sub_y = parab(sample_d(-1, 0), sample_d(0, 0), sample_d(1, 0))
+
     # --- gather 39x39 patches around each keypoint ------------------------
     def gather_patch(src, y, x):
         return jax.lax.dynamic_slice(
@@ -156,7 +176,9 @@ def _extract_level(
     bits = (t1 < t2).astype(jnp.uint8)  # (q, 256)
     desc = pack_bits(bits)
 
-    xy = jnp.stack([xs, ys], axis=-1).astype(jnp.float32)
+    xy = jnp.stack(
+        [xs.astype(jnp.float32) + sub_x, ys.astype(jnp.float32) + sub_y], axis=-1
+    )
     return xy, response, angle, desc, valid
 
 

@@ -1,0 +1,438 @@
+"""SLAM system facade and tracking orchestrator.
+
+The array-native equivalent of System + Tracking + (synchronous)
+LocalMapping (reference: System.cc, Tracking.cc, LocalMapping.cc).  All
+dense compute runs in jitted kernels with static shapes; this module is the
+thin host-side state machine: sensor dispatch, initialization, the
+motion-model / local-map / keyframe-decision sequence, slot counters, and
+trajectory logging.
+
+Where the reference runs LocalMapping and LoopClosing on separate threads
+with mutex handshakes, this build runs mapping synchronously at keyframe
+insertion (correctness-first; the async pipelined dispatch is layered on in
+``backend/``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .backend import local_mapping as LM
+from .frontend.frame import FrameData, build_frame_mono, build_frame_rgbd, build_frame_stereo
+from .frontend import tracking_kernels as TK
+from .geometry import se3
+from .geometry.camera import Camera
+from .models import map_ops
+from .models.map_state import (
+    MapState, covisibility_matrix, create_empty, update_point_stats,
+)
+from .ops.image import level_sigma2
+from .ops.orb import level_quotas
+from .optim import bundle_adjustment as BA
+from .optim.pose_opt import optimize_pose
+from .utils.config import SystemConfig, camera_from_config
+
+
+class TrackState:
+    NOT_INITIALIZED = 0
+    OK = 1
+    LOST = 2
+
+
+@dataclasses.dataclass
+class FrameLog:
+    frame_id: int
+    timestamp: float
+    Tcr: np.ndarray          # pose relative to reference keyframe
+    ref_kf: int
+    lost: bool
+
+
+class SlamSystem:
+    """End-to-end SLAM engine (stereo / RGB-D; monocular lands with the
+    initializer).  Feed frames with track_stereo/track_rgbd; read
+    trajectory with export_trajectory_tum/kitti."""
+
+    def __init__(self, config: SystemConfig):
+        self.cfg = config
+        self.cam: Camera = camera_from_config(config.camera)
+        self.sensor = config.sensor
+
+        n_slots = sum(
+            level_quotas(
+                config.orb.n_features, config.orb.n_levels, config.orb.scale_factor
+            )
+        )
+        self.n_feat_slots = n_slots
+        self.map: MapState = create_empty(config.map, n_slots)
+        self.n_kf = 0
+        self.n_pt = 0
+
+        # metric close-point threshold: ThDepth is in baseline units
+        self.th_depth_m = (
+            config.tracking.th_depth * config.camera.bf / config.camera.fx
+            if config.camera.bf > 0 else 0.0
+        )
+        lv_sigma2 = level_sigma2(config.orb.n_levels, config.orb.scale_factor)
+        self.inv_sigma2_table = jnp.asarray(1.0 / lv_sigma2)
+        self.scale_factors = np.asarray(
+            [config.orb.scale_factor ** i for i in range(config.orb.n_levels)],
+            np.float32,
+        )
+
+        self.state = TrackState.NOT_INITIALIZED
+        self.frame_id = -1
+        self.last_frame: Optional[FrameData] = None
+        self.last_pose: Optional[jnp.ndarray] = None
+        self.last_pt_idx: Optional[jnp.ndarray] = None
+        self.velocity: Optional[np.ndarray] = None
+        self.ref_kf = 0
+        self.last_kf_frame_id = -1
+        self.trajectory: list[FrameLog] = []
+        self.localization_only = False
+
+        self._build_jits()
+
+    # ------------------------------------------------------------------ jits
+    def _build_jits(self):
+        cfg = self.cfg
+        cam = self.cam
+
+        if self.sensor == "stereo":
+            self._jit_frame = jax.jit(
+                lambda l, r: build_frame_stereo(l, r, cam, cfg.orb)
+            )
+        elif self.sensor == "rgbd":
+            self._jit_frame = jax.jit(
+                lambda im, d: build_frame_rgbd(
+                    im, d, cam, cfg.orb, cfg.tracking.depth_map_factor
+                )
+            )
+        else:
+            self._jit_frame = jax.jit(lambda im: build_frame_mono(im, cam, cfg.orb))
+
+        self._jit_pose_opt = jax.jit(optimize_pose)
+        self._jit_motion_match = jax.jit(
+            TK.match_motion_model,
+            static_argnames=("th", "nn_max_dist", "nn_ratio"),
+        )
+        self._jit_select_local = jax.jit(
+            TK.select_local_points,
+            static_argnames=("budget", "scale_factor", "n_levels"),
+        )
+        self._jit_match_local = jax.jit(
+            TK.match_local_points,
+            static_argnames=("th", "nn_ratio", "nn_max_dist"),
+        )
+        self._jit_insert_kf = jax.jit(map_ops.insert_keyframe)
+        self._jit_create_points = jax.jit(
+            map_ops.create_points_from_depth, static_argnames=("max_new", "th_depth")
+        )
+        self._jit_update_stats = jax.jit(
+            update_point_stats, static_argnames=("scale_factor", "n_levels")
+        )
+        self._jit_covis = jax.jit(covisibility_matrix)
+        self._jit_fuse = jax.jit(
+            LM.fuse_into_keyframe,
+            static_argnames=("budget", "scale_factor", "n_levels", "th", "max_dist"),
+        )
+        self._jit_cull = jax.jit(
+            LM.cull_map_points, static_argnames=("recent_window",)
+        )
+        self._jit_visibility = jax.jit(LM.update_visibility)
+        self._jit_build_ba = jax.jit(map_ops.build_ba_problem)
+        self._jit_run_ba = jax.jit(
+            BA.run, static_argnames=("iters_phase1", "iters_phase2")
+        )
+        self._jit_writeback = jax.jit(map_ops.writeback_ba)
+
+    # ------------------------------------------------------------- tracking
+    def track_stereo(self, img_l, img_r, timestamp: float) -> Optional[np.ndarray]:
+        frame = self._jit_frame(jnp.asarray(img_l), jnp.asarray(img_r))
+        return self._track(frame, timestamp)
+
+    def track_rgbd(self, img, depth, timestamp: float) -> Optional[np.ndarray]:
+        frame = self._jit_frame(jnp.asarray(img), jnp.asarray(depth))
+        return self._track(frame, timestamp)
+
+    def _track(self, frame: FrameData, timestamp: float) -> Optional[np.ndarray]:
+        self.frame_id += 1
+        if self.state == TrackState.NOT_INITIALIZED:
+            ok = self._initialize_depth(frame)
+            if ok:
+                self.state = TrackState.OK
+                self._log_frame(timestamp, lost=False)
+                return np.asarray(self.last_pose)
+            return None
+
+        # --- pose prediction + motion-model tracking ----------------------
+        pose0 = (
+            jnp.asarray(self.velocity) @ self.last_pose
+            if self.velocity is not None
+            else self.last_pose
+        )
+        th = 7.0 if self.sensor == "stereo" else 15.0
+        pt_idx, n_m = self._motion_track(frame, pose0, th)
+        if int(n_m) < 20:  # widen window 2x (Tracking.cc:802)
+            pt_idx, n_m = self._motion_track(frame, pose0, 2 * th)
+
+        pose = pose0
+        ok = False
+        if int(n_m) >= 20:
+            pose, pt_idx, n_inliers = self._pose_opt_against_map(frame, pose0, pt_idx)
+            ok = int(n_inliers) >= self.cfg.tracking.min_inliers_track
+
+        if not ok:
+            # fall back: track against reference keyframe features (BoW-free:
+            # plain descriptor matching with a loose window)
+            pt_idx, n_m = self._motion_track(frame, self.last_pose, 4 * th)
+            if int(n_m) >= 15:
+                pose, pt_idx, n_inl = self._pose_opt_against_map(
+                    frame, self.last_pose, pt_idx
+                )
+                ok = int(n_inl) >= self.cfg.tracking.min_inliers_track
+
+        if not ok:
+            self.state = TrackState.LOST
+            self._log_frame(timestamp, lost=True)
+            return None
+
+        # --- track local map ----------------------------------------------
+        pose, pt_idx, n_map_inliers = self._track_local_map(frame, pose, pt_idx)
+        if int(n_map_inliers) < self.cfg.tracking.min_inliers_local_map:
+            self.state = TrackState.LOST
+            self._log_frame(timestamp, lost=True)
+            return None
+
+        # --- bookkeeping ---------------------------------------------------
+        new_vel = np.asarray(pose @ se3.inv(self.last_pose))
+        self.velocity = new_vel
+        self.last_pose = pose
+        self.last_frame = frame
+        self.last_pt_idx = pt_idx
+        self.state = TrackState.OK
+
+        if not self.localization_only and self._need_new_keyframe(frame, pt_idx, int(n_map_inliers)):
+            self._create_keyframe(frame, pose, pt_idx)
+
+        self._log_frame(timestamp, lost=False)
+        return np.asarray(pose)
+
+    # ----------------------------------------------------------- sub-steps
+    def _motion_track(self, frame, pose0, th):
+        res = self._jit_motion_match(
+            self.cam, pose0, frame,
+            self.last_frame.xy, self.last_pt_idx, self.last_frame.octave,
+            self.map.pt_pos, self.map.pt_valid, self.map.pt_desc,
+            self.last_frame.angle,
+            th=float(th), scale_factors=self.scale_factors,
+            nn_max_dist=75,
+        )
+        return res.pt_idx, res.n_matches
+
+    def _pose_opt_against_map(self, frame, pose0, pt_idx):
+        valid = pt_idx >= 0
+        pw = self.map.pt_pos[jnp.clip(pt_idx, 0)]
+        inv_s2 = jnp.take(
+            self.inv_sigma2_table,
+            jnp.clip(frame.octave, 0, len(self.scale_factors) - 1),
+        )
+        is_stereo = frame.uvr[:, 2] >= 0
+        result = self._jit_pose_opt(
+            self.cam, pose0, pw, frame.uvr, inv_s2, valid, is_stereo
+        )
+        new_pt_idx = jnp.where(result.inlier, pt_idx, -1)
+        return result.Tcw, new_pt_idx, result.n_inliers
+
+    def _track_local_map(self, frame, pose, pt_idx):
+        P = self.map.pt_pos.shape[0]
+        scatter_idx = jnp.where(pt_idx >= 0, pt_idx, P)
+        already = jnp.zeros(P, bool).at[scatter_idx].set(True, mode="drop")
+        local = self._jit_select_local(
+            self.cam, pose,
+            self.map.pt_pos, self.map.pt_valid, self.map.pt_normal,
+            self.map.pt_min_dist, self.map.pt_max_dist, already,
+            budget=4096, scale_factor=self.cfg.orb.scale_factor,
+            n_levels=self.cfg.orb.n_levels,
+        )
+        res = self._jit_match_local(
+            frame, local, self.map.pt_desc, pt_idx,
+            th=1.0, scale_factors=self.scale_factors,
+        )
+        pose, pt_idx, n_inl = self._pose_opt_against_map(frame, pose, res.pt_idx)
+        # visibility/found statistics feed MapPointCulling
+        self.map = self._jit_visibility(self.map, local.idx, pt_idx)
+        return pose, pt_idx, n_inl
+
+    # ------------------------------------------------------- initialization
+    def _initialize_depth(self, frame) -> bool:
+        """Stereo/RGB-D bootstrap (Tracking::StereoInitialization,
+        Tracking.cc:454-503): need >=500 features, create points for all
+        features with depth."""
+        n_valid = int(jnp.sum(frame.valid))
+        if n_valid < 500 or self.sensor == "monocular":
+            return False
+        pose = jnp.eye(4, dtype=jnp.float32)
+        kf_slot = self._insert_keyframe_arrays(
+            frame, pose, jnp.full((frame.n_slots,), -1, jnp.int32), parent=-1
+        )
+        self.map, n_new = self._jit_create_points(
+            self.map, jnp.int32(kf_slot), frame.depth,
+            jnp.full((frame.n_slots,), -1, jnp.int32),
+            self.cam,
+            th_depth=float(1e9),   # init: all depths (Tracking.cc:476)
+            pt_base=jnp.int32(self.n_pt),
+            max_new=self.n_feat_slots,
+        )
+        self.n_pt += int(n_new)
+        self.map = self._jit_update_stats(
+            self.map, scale_factor=self.cfg.orb.scale_factor,
+            n_levels=self.cfg.orb.n_levels,
+        )
+        self.last_pose = pose
+        self.last_frame = frame
+        self.last_pt_idx = self.map.kf_point_idx[kf_slot]
+        self.ref_kf = kf_slot
+        self.last_kf_frame_id = self.frame_id
+        return int(n_new) >= 100
+
+    # ----------------------------------------------------------- keyframes
+    def _need_new_keyframe(self, frame, pt_idx, n_inliers: int) -> bool:
+        """Adapted NeedNewKeyFrame (Tracking.cc:880-962)."""
+        if self.n_kf >= self.cfg.map.max_keyframes - 2:
+            return False
+        frames_since = self.frame_id - self.last_kf_frame_id
+        # reference-match count = points in ref KF (proxy: current inliers vs
+        # ref KF's point count)
+        ref_matches = int(
+            jnp.sum((self.map.kf_point_idx[self.ref_kf] >= 0).astype(jnp.int32))
+        )
+        th_ratio = 0.75 if self.sensor != "monocular" else 0.9
+
+        need_close = False
+        if self.sensor != "monocular":
+            d = np.asarray(frame.depth)
+            pid = np.asarray(pt_idx)
+            close = (d > 0) & (d < self.th_depth_m)
+            tracked_close = int((close & (pid >= 0)).sum())
+            untracked_close = int((close & (pid < 0)).sum())
+            need_close = tracked_close < 100 and untracked_close > 70
+
+        c1a = frames_since >= self.cfg.tracking.max_frames_between_kf
+        c1b = frames_since >= self.cfg.tracking.min_frames_between_kf
+        c1c = self.sensor != "monocular" and (
+            n_inliers < ref_matches * 0.25 or need_close
+        )
+        c2 = (n_inliers < ref_matches * th_ratio or need_close) and n_inliers > 15
+        return bool((c1a or c1b or c1c) and c2)
+
+    def _insert_keyframe_arrays(self, frame, pose, matched_pt, parent) -> int:
+        kf_slot = self.n_kf
+        self.map = self._jit_insert_kf(
+            self.map, jnp.int32(kf_slot), jnp.int32(self.frame_id), pose,
+            frame.xy, frame.uvr, frame.octave, frame.angle, frame.desc,
+            frame.valid, matched_pt, jnp.int32(parent),
+        )
+        self.n_kf += 1
+        return kf_slot
+
+    def _create_keyframe(self, frame, pose, pt_idx):
+        kf_slot = self._insert_keyframe_arrays(frame, pose, pt_idx, parent=self.ref_kf)
+        # stereo/RGB-D: create close points for untracked features
+        if self.sensor != "monocular":
+            self.map, n_new = self._jit_create_points(
+                self.map, jnp.int32(kf_slot), frame.depth, pt_idx, self.cam,
+                th_depth=float(self.th_depth_m),
+                pt_base=jnp.int32(self.n_pt), max_new=128,
+            )
+            self.n_pt += int(n_new)
+        # fuse duplicates (SearchInNeighbors) and cull weak points
+        self.map = self._jit_fuse(
+            self.map, jnp.int32(kf_slot), self.cam,
+            budget=2048, scale_factor=self.cfg.orb.scale_factor,
+            n_levels=self.cfg.orb.n_levels,
+        )
+        self.map = self._jit_cull(self.map, jnp.int32(kf_slot))
+        self.map = self._jit_update_stats(
+            self.map, scale_factor=self.cfg.orb.scale_factor,
+            n_levels=self.cfg.orb.n_levels,
+        )
+        self.ref_kf = kf_slot
+        self.last_kf_frame_id = self.frame_id
+        self.last_pt_idx = self.map.kf_point_idx[kf_slot]
+        self._local_ba(kf_slot)
+
+    # ------------------------------------------------------------ local BA
+    def _local_ba(self, kf_slot: int):
+        """Covisibility-window BA (Optimizer::LocalBundleAdjustment)."""
+        if self.n_kf < 3:
+            return
+        covis = self._jit_covis(self.map)
+        row = np.asarray(covis[kf_slot])
+        window = np.zeros(row.shape[0], bool)
+        window[kf_slot] = True
+        neighbors = np.argsort(-row)[:20]
+        window[neighbors[row[neighbors] > 0]] = True
+        window[0] = False  # never move the origin keyframe
+        window_mask = jnp.asarray(window)
+        # fixed: any valid KF not in window that observes window points —
+        # conservatively include all other valid KFs as fixed candidates;
+        # build_ba_problem drops observations of KFs outside window|fixed.
+        fixed_mask = jnp.asarray(~window) & self.map.kf_valid
+        prob = self._jit_build_ba(
+            self.map, window_mask, fixed_mask, self.inv_sigma2_table
+        )
+        result = self._jit_run_ba(self.cam, prob, iters_phase1=5, iters_phase2=10)
+        self.map = self._jit_writeback(
+            self.map, result.kf_poses, result.points, result.obs_valid, prob
+        )
+        # keep the tracker's pose consistent with the adjusted keyframe
+        self.last_pose = self.map.kf_pose[kf_slot]
+
+    # ----------------------------------------------------------- trajectory
+    def _log_frame(self, timestamp, lost: bool):
+        Tcr = np.asarray(self.last_pose @ se3.inv(self.map.kf_pose[self.ref_kf]))
+        self.trajectory.append(
+            FrameLog(self.frame_id, timestamp, Tcr, self.ref_kf, lost)
+        )
+
+    def frame_poses(self) -> np.ndarray:
+        """(n, 4, 4) Tcw per tracked frame, recomposed through current KF
+        poses (System::SaveTrajectoryTUM semantics, System.cc:355-415)."""
+        kf_poses = np.asarray(self.map.kf_pose)
+        out = []
+        for log in self.trajectory:
+            if log.lost:
+                out.append(out[-1] if out else np.eye(4, dtype=np.float32))
+                continue
+            out.append(log.Tcr @ kf_poses[log.ref_kf])
+        return np.stack(out)
+
+    def camera_centers(self) -> np.ndarray:
+        poses = self.frame_poses()
+        return np.stack([-(T[:3, :3].T @ T[:3, 3]) for T in poses])
+
+    def export_trajectory_tum(self, path: str):
+        poses = self.frame_poses()
+        with open(path, "w") as f:
+            for log, Tcw in zip(self.trajectory, poses):
+                Twc = np.linalg.inv(Tcw)
+                q = np.asarray(se3.to_quaternion(jnp.asarray(Twc[:3, :3])))
+                t = Twc[:3, 3]
+                f.write(
+                    f"{log.timestamp:.6f} {t[0]:.7f} {t[1]:.7f} {t[2]:.7f} "
+                    f"{q[0]:.7f} {q[1]:.7f} {q[2]:.7f} {q[3]:.7f}\n"
+                )
+
+    def export_trajectory_kitti(self, path: str):
+        poses = self.frame_poses()
+        with open(path, "w") as f:
+            for Tcw in poses:
+                Twc = np.linalg.inv(Tcw)
+                row = Twc[:3, :4].reshape(-1)
+                f.write(" ".join(f"{v:.9e}" for v in row) + "\n")

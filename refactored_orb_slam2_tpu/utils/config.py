@@ -71,7 +71,9 @@ class MatcherConfig:
 class TrackingConfig:
     """Tracking-loop thresholds (Tracking.cc call sites)."""
 
-    th_depth: float = 35.0            # close/far stereo point split (ThDepth)
+    th_depth: float = 35.0            # close/far split in BASELINE units
+                                      # (metric th = th_depth * bf / fx,
+                                      # Tracking.cc:139-147)
     depth_map_factor: float = 1.0     # RGB-D depth scaling (DepthMapFactor)
     min_inliers_track: int = 10       # TrackWithMotionModel/RefKF (Tracking.cc:770)
     min_inliers_local_map: int = 30   # TrackLocalMap pass bar (Tracking.cc:875)

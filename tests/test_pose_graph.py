@@ -1,0 +1,130 @@
+"""Pose-graph optimization: loop-closure correction on synthetic graphs."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from refactored_orb_slam2_tpu.geometry import se3, sim3
+from refactored_orb_slam2_tpu.optim.pose_graph import (
+    PoseGraphEdges, make_edges_from_poses, optimize_pose_graph,
+    correct_points_after_pose_graph,
+)
+
+
+def circle_graph(n=24, drift=0.02, scale_drift=0.0, seed=0):
+    """Ground truth: keyframes on a circle.  Odometry edges carry the true
+    relative poses; the estimated trajectory accumulates drift so the loop
+    doesn't close; one loop edge ties last->first with the true relative."""
+    rng = np.random.default_rng(seed)
+    # ground-truth camera poses S_iw around a circle
+    R_gt, t_gt, s_gt = [], [], []
+    for k in range(n):
+        ang = 2 * np.pi * k / n
+        Rw = np.asarray(se3.so3_exp(jnp.asarray([0.0, ang, 0.0], jnp.float32)))
+        Cw = np.asarray([5 * np.sin(ang), 0.0, 5 - 5 * np.cos(ang)], np.float32)
+        R = Rw.T
+        t = -R @ Cw
+        R_gt.append(R); t_gt.append(t); s_gt.append(1.0)
+    R_gt = np.stack(R_gt); t_gt = np.stack(t_gt); s_gt = np.asarray(s_gt, np.float32)
+
+    # drifted estimates: chain true relatives with noise injected
+    R_est = [R_gt[0]]; t_est = [t_gt[0]]; s_est = [1.0]
+    for k in range(1, n):
+        # true relative S_k,k-1
+        Rr = R_gt[k] @ R_gt[k - 1].T
+        tr = t_gt[k] - Rr @ t_gt[k - 1]
+        noise = rng.normal(0, drift, 3).astype(np.float32)
+        Rn = np.asarray(se3.so3_exp(jnp.asarray(noise * 0.3)))
+        s_mult = float(np.exp(rng.normal(0, scale_drift)))
+        R_new = Rn @ Rr @ R_est[-1]
+        t_new = s_mult * (Rn @ (Rr @ t_est[-1] + tr)) + noise * 0.5
+        R_est.append(R_new.astype(np.float32))
+        t_est.append(t_new.astype(np.float32))
+        s_est.append(s_est[-1] * s_mult)
+    R_est = np.stack(R_est); t_est = np.stack(t_est)
+    s_est = np.asarray(s_est, np.float32)
+    return (R_gt, t_gt, s_gt), (R_est, t_est, s_est)
+
+
+def build_edges(R_gt, t_gt, s_gt, n, extra_loop=True):
+    """Odometry edges (k-1 -> k) with TRUE relative measurements + loop edge."""
+    ii, jj = [], []
+    for k in range(1, n):
+        ii.append(k - 1); jj.append(k)
+    if extra_loop:
+        ii.append(n - 1); jj.append(0)
+    i = jnp.asarray(ii, jnp.int32)
+    j = jnp.asarray(jj, jnp.int32)
+    edges = make_edges_from_poses(
+        i, j, jnp.asarray(R_gt), jnp.asarray(t_gt), jnp.asarray(s_gt),
+        jnp.ones(len(ii), bool),
+    )
+    return edges
+
+
+class TestPoseGraph:
+    def test_loop_closure_se3(self):
+        n = 24
+        (R_gt, t_gt, s_gt), (R_est, t_est, s_est) = circle_graph(n, drift=0.03)
+        edges = build_edges(R_gt, t_gt, s_gt, n)
+        fixed = jnp.zeros(n, bool).at[0].set(True)
+        R, t, s = optimize_pose_graph(
+            jnp.asarray(R_est), jnp.asarray(t_est), jnp.ones(n, jnp.float32),
+            jnp.ones(n, bool), fixed, edges, fix_scale=True,
+        )
+        # camera centers should match ground truth
+        def centers(Rm, tm, sm):
+            return np.stack([
+                -(np.asarray(Rm[k]).T @ np.asarray(tm[k])) / np.asarray(sm[k])
+                for k in range(n)
+            ])
+        c_before = centers(R_est, t_est, s_est)
+        c_gt = centers(R_gt, t_gt, s_gt)
+        c_after = centers(np.asarray(R), np.asarray(t), np.asarray(s))
+        err_before = np.linalg.norm(c_before - c_gt, axis=1).max()
+        err_after = np.linalg.norm(c_after - c_gt, axis=1).max()
+        assert err_after < 0.1 * err_before, (err_before, err_after)
+        assert np.allclose(np.asarray(s), 1.0, atol=1e-5)
+
+    def test_loop_closure_sim3_scale_drift(self):
+        n = 24
+        (R_gt, t_gt, s_gt), (R_est, t_est, s_est) = circle_graph(
+            n, drift=0.02, scale_drift=0.02, seed=1
+        )
+        edges = build_edges(R_gt, t_gt, s_gt, n)
+        fixed = jnp.zeros(n, bool).at[0].set(True)
+        R, t, s = optimize_pose_graph(
+            jnp.asarray(R_est), jnp.asarray(t_est), jnp.asarray(s_est),
+            jnp.ones(n, bool), fixed, edges, fix_scale=False,
+        )
+        # scale drift corrected: all scales ~1
+        assert np.abs(np.asarray(s) - 1.0).max() < 0.02, np.asarray(s)
+
+    def test_point_correction(self):
+        n = 8
+        (R_gt, t_gt, s_gt), (R_est, t_est, s_est) = circle_graph(n, drift=0.05)
+        edges = build_edges(R_gt, t_gt, s_gt, n)
+        fixed = jnp.zeros(n, bool).at[0].set(True)
+        R, t, s = optimize_pose_graph(
+            jnp.asarray(R_est), jnp.asarray(t_est), jnp.ones(n, jnp.float32),
+            jnp.ones(n, bool), fixed, edges, fix_scale=True,
+        )
+        # a point at the origin of keyframe k's camera frame must stay at the
+        # same camera-frame location after correction
+        rng = np.random.default_rng(0)
+        pts_cam = rng.uniform(-1, 1, (16, 3)).astype(np.float32) + [0, 0, 3]
+        ref = jnp.asarray(rng.integers(0, n, 16), jnp.int32)
+        # world position under the drifted estimate
+        Rr = np.asarray(R_est)[np.asarray(ref)]
+        tr = np.asarray(t_est)[np.asarray(ref)]
+        p_world_old = np.einsum("kij,kj->ki", Rr.transpose(0, 2, 1), pts_cam - tr)
+        p_new = correct_points_after_pose_graph(
+            jnp.asarray(p_world_old), ref,
+            jnp.asarray(R_est), jnp.asarray(t_est), jnp.asarray(s_est),
+            R, t, s,
+        )
+        # verify: camera-frame position preserved under new pose
+        Rn = np.asarray(R)[np.asarray(ref)]
+        tn = np.asarray(t)[np.asarray(ref)]
+        p_cam_new = np.einsum("kij,kj->ki", Rn, np.asarray(p_new)) + tn
+        np.testing.assert_allclose(p_cam_new, pts_cam, atol=1e-3)
