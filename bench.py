@@ -1,0 +1,110 @@
+"""Benchmark: per-frame tracking-step throughput on one chip.
+
+Measures the latency-critical per-frame compute of the SLAM engine — ORB
+extraction (pyramid/FAST/orientation/rBRIEF), Hamming matching against the
+landmark bank, and motion-only LM pose optimization — fused into a single
+XLA program (no host round-trips), on realistic TUM-sized frames
+(640x480, 1000 features).
+
+Prints one JSON line.  Baseline: the reference runs real-time at the
+dataset rate (TUM 30 fps, mono_tum.cc:106-113 pacing), so
+``vs_baseline = fps / 30``; the BASELINE.md target is >= 2x reference
+throughput (vs_baseline >= 2).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, "/root/repo")
+    from refactored_orb_slam2_tpu.geometry.camera import Camera
+    from refactored_orb_slam2_tpu.ops.orb import extract_orb
+    from refactored_orb_slam2_tpu.ops.descriptors import hamming
+    from refactored_orb_slam2_tpu.ops import matching as M
+    from refactored_orb_slam2_tpu.optim.pose_opt import optimize_pose
+    from refactored_orb_slam2_tpu.utils.synthetic import SyntheticWorld
+
+    H, W = 480, 640
+    N_FEATURES = 1000
+    N_PTS = 1024
+
+    cam = Camera.create(517.3, 516.5, 318.6, 255.3, bf=40.0, width=W, height=H)
+    world = SyntheticWorld.create(
+        seed=0, n_points=700, x_range=(-6, 6), y_range=(-4, 4), z_range=(2.5, 20.0)
+    )
+    rng = np.random.default_rng(0)
+    imgs = [
+        world.render(np.eye(4, dtype=np.float32), cam, noise=2.0, rng=rng)
+        for _ in range(4)
+    ]
+
+    pt_pos = np.stack(
+        [rng.uniform(-4, 4, N_PTS), rng.uniform(-3, 3, N_PTS), rng.uniform(3, 15, N_PTS)],
+        axis=1,
+    ).astype(np.float32)
+    pt_desc = rng.integers(0, 2**32, (N_PTS, 8), dtype=np.uint32)
+    z = pt_pos[:, 2]
+    uv_prior = np.stack(
+        [517.3 * pt_pos[:, 0] / z + 318.6, 516.5 * pt_pos[:, 1] / z + 255.3], axis=1
+    ).astype(np.float32)
+
+    def track_step(img, pt_pos, pt_desc, pt_uv_prior, Tcw0):
+        feats = extract_orb(img, n_features=N_FEATURES, n_levels=8)
+        dist = hamming(pt_desc, feats.desc)
+        geo = M.window_mask(pt_uv_prior, feats.xy, 15.0)
+        res = M.nn_match(
+            dist,
+            row_valid=jnp.ones(pt_pos.shape[0], bool),
+            col_valid=feats.valid,
+            extra_mask=geo,
+            max_dist=100,
+            ratio=0.9,
+        )
+        obs_uv = feats.xy[jnp.clip(res.idx, 0)]
+        obs = jnp.concatenate([obs_uv, -jnp.ones_like(obs_uv[:, :1])], axis=-1)
+        out = optimize_pose(
+            cam, Tcw0, pt_pos, obs,
+            jnp.ones(pt_pos.shape[0], jnp.float32),
+            res.mask, jnp.zeros(pt_pos.shape[0], bool),
+        )
+        return out.Tcw, out.n_inliers
+
+    step = jax.jit(track_step)
+    args = (
+        jnp.asarray(imgs[0]), jnp.asarray(pt_pos), jnp.asarray(pt_desc),
+        jnp.asarray(uv_prior), jnp.eye(4, dtype=jnp.float32),
+    )
+    # compile + warmup
+    jax.block_until_ready(step(*args))
+    for im in imgs:
+        jax.block_until_ready(step(jnp.asarray(im), *args[1:]))
+
+    n_iters = 30
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        out = step(jnp.asarray(imgs[i % len(imgs)]), *args[1:])
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / n_iters
+    fps = 1.0 / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "tracking_step_fps",
+                "value": round(fps, 2),
+                "unit": "frames/s (640x480, 1000 feats, fused extract+match+pose-opt)",
+                "vs_baseline": round(fps / 30.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
