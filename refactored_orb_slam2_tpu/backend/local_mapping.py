@@ -213,3 +213,179 @@ def cull_map_points(
         pt_obs_kf=jnp.where(cull[:, None], -1, state.pt_obs_kf),
         pt_obs_feat=jnp.where(cull[:, None], -1, state.pt_obs_feat),
     )
+
+
+def triangulate_with_neighbor(
+    state: MapState,
+    kf_a: jax.Array,
+    kf_b: jax.Array,
+    cam: Camera,
+    pt_base: jax.Array,
+    *,
+    max_new: int,
+    scale_factor: float,
+    n_levels: int,
+    min_baseline_ratio: float = 0.01,
+) -> tuple[MapState, jax.Array]:
+    """Create new landmarks by triangulating unmatched features between two
+    keyframes (LocalMapping::CreateNewMapPoints, LocalMapping.cc:185-423 +
+    ORBmatcher::SearchForTriangulation, ORBmatcher.cc:614-764).
+
+    Epipolar-constrained descriptor matching between the keyframes'
+    *unmatched* features, DLT triangulation, then the reference's gates:
+    positive depth in both views, sufficient parallax, reprojection chi2,
+    scale-consistency between octaves.  Returns (state, n_created).
+    """
+    K, N, P, O = state.capacity
+    Ta = state.kf_pose[kf_a]
+    Tb = state.kf_pose[kf_b]
+    sf = jnp.asarray([scale_factor ** i for i in range(n_levels)], jnp.float32)
+    sigma2 = sf * sf
+
+    # baseline gate (LocalMapping.cc:219-233): for mono, require the
+    # baseline to be a reasonable fraction of the scene depth
+    Ca = se3.translation(se3.inv(Ta))
+    Cb = se3.translation(se3.inv(Tb))
+    baseline = jnp.linalg.norm(Cb - Ca)
+
+    # relative geometry a->b and essential matrix for the epipolar gate
+    Tba = Tb @ se3.inv(Ta)
+    Rba = Tba[:3, :3]
+    tba = Tba[:3, 3]
+    E = se3.hat(tba) @ Rba
+
+    # normalized coords of both keyframes' features
+    def norm_coords(kf):
+        xy = state.kf_xy[kf]
+        x = (xy[:, 0] - cam.cx) / cam.fx
+        y = (xy[:, 1] - cam.cy) / cam.fy
+        return jnp.stack([x, y], axis=-1)
+
+    xa = norm_coords(kf_a)
+    xb = norm_coords(kf_b)
+
+    free_a = state.kf_feat_valid[kf_a] & (state.kf_point_idx[kf_a] < 0)
+    free_b = state.kf_feat_valid[kf_b] & (state.kf_point_idx[kf_b] < 0)
+
+    # epipolar distance of xb from the line E @ xa (in normalized coords,
+    # scaled to pixels via fx for the sigma-based gate)
+    xah = jnp.concatenate([xa, jnp.ones((N, 1))], axis=1)      # (N, 3)
+    xbh = jnp.concatenate([xb, jnp.ones((N, 1))], axis=1)
+    lines = xah @ E.T                                          # (N, 3) epiline in b
+    num = jnp.abs(jnp.einsum("aj,bj->ab", lines, xbh))         # (Na, Nb)
+    den = jnp.sqrt(lines[:, 0] ** 2 + lines[:, 1] ** 2)[:, None] + 1e-12
+    dist_px = num / den * cam.fx
+    oct_b = jnp.clip(state.kf_octave[kf_b], 0, n_levels - 1)
+    epi_ok = dist_px < 3.84 * jnp.sqrt(jnp.take(sigma2, oct_b))[None, :]
+
+    dmat = hamming(state.kf_desc[kf_a], state.kf_desc[kf_b])
+    res = M.nn_match(
+        dmat, row_valid=free_a, col_valid=free_b,
+        extra_mask=epi_ok, max_dist=50,   # TH_LOW (ORBmatcher.cc:645)
+    )
+    keep = M.rotation_consistency_mask(
+        state.kf_angle[kf_a], state.kf_angle[kf_b], res
+    )
+    res = M.MatchResult(
+        idx=jnp.where(keep, res.idx, -1),
+        dist=jnp.where(keep, res.dist, M.BIG),
+        mask=keep,
+    )
+    res = M.resolve_duplicates(res, N)
+
+    # triangulate all matches
+    Pa = Ta[:3]
+    Pb = Tb[:3]
+    from ..geometry.triangulation import triangulate_dlt
+
+    xb_m = xb[jnp.clip(res.idx, 0)]
+    p3d = triangulate_dlt(Pa, Pb, xa, xb_m)
+
+    # acceptance gates
+    pca = se3.transform(Ta, p3d)
+    pcb = se3.transform(Tb, p3d)
+    za, zb = pca[:, 2], pcb[:, 2]
+    pos = (za > 1e-3) & (zb > 1e-3)
+    finite = jnp.all(jnp.isfinite(p3d), axis=1)
+
+    ra = p3d - Ca
+    rb = p3d - Cb
+    cosp = jnp.sum(ra * rb, axis=1) / (
+        jnp.linalg.norm(ra, axis=1) * jnp.linalg.norm(rb, axis=1) + 1e-12
+    )
+    parallax_ok = cosp < 0.9998
+
+    za_s = jnp.where(pos, za, 1.0)
+    zb_s = jnp.where(pos, zb, 1.0)
+    ea = (pca[:, :2] / za_s[:, None] - xa) * cam.fx
+    eb = (pcb[:, :2] / zb_s[:, None] - xb_m) * cam.fx
+    oct_a = jnp.clip(state.kf_octave[kf_a], 0, n_levels - 1)
+    oct_bm = jnp.take(oct_b, jnp.clip(res.idx, 0))
+    chi_a = jnp.sum(ea * ea, axis=1) / jnp.take(sigma2, oct_a)
+    chi_b = jnp.sum(eb * eb, axis=1) / jnp.take(sigma2, oct_bm)
+    reproj_ok = (chi_a <= 5.991) & (chi_b <= 5.991)
+
+    # scale consistency (LocalMapping.cc:383-402)
+    da = jnp.linalg.norm(ra, axis=1)
+    db = jnp.linalg.norm(rb, axis=1)
+    ratio_dist = da / jnp.maximum(db, 1e-9)
+    ratio_oct = jnp.take(sf, oct_a) / jnp.take(sf, oct_bm)
+    scale_ok = (ratio_dist < ratio_oct * 1.5 * scale_factor) & (
+        ratio_dist * 1.5 * scale_factor > ratio_oct
+    )
+
+    depth_scale = jnp.minimum(za, zb)
+    baseline_ok = baseline > min_baseline_ratio * jnp.maximum(depth_scale, 1e-6)
+
+    good = (
+        res.mask & pos & finite & parallax_ok & reproj_ok & scale_ok & baseline_ok
+    )
+
+    # take up to max_new, best (lowest chi2 sum) first
+    order_key = jnp.where(good, chi_a + chi_b, jnp.inf)
+    order = jnp.argsort(order_key)
+    chosen = order[:max_new]
+    chosen_ok = jnp.take(good, chosen)
+    n_new = jnp.sum(chosen_ok.astype(jnp.int32))
+
+    slot = pt_base + jnp.cumsum(chosen_ok.astype(jnp.int32)) - 1
+    slot = jnp.where(chosen_ok, slot, P)
+
+    feat_a = chosen.astype(jnp.int32)
+    feat_b = jnp.take(res.idx, chosen).astype(jnp.int32)
+    pw = jnp.take(p3d, chosen, axis=0)
+    desc = jnp.take(state.kf_desc[kf_a], chosen, axis=0)
+    vec = pw - Ca
+    dist = jnp.linalg.norm(vec, axis=1)
+    normal = vec / jnp.maximum(dist, 1e-9)[:, None]
+    octv = jnp.take(state.kf_octave[kf_a], chosen).astype(jnp.float32)
+    max_dist = dist * (scale_factor ** octv)
+    min_dist = max_dist / (scale_factor ** (n_levels - 1))
+
+    s = state._replace(
+        pt_pos=state.pt_pos.at[slot].set(pw, mode="drop"),
+        pt_valid=state.pt_valid.at[slot].set(chosen_ok, mode="drop"),
+        pt_desc=state.pt_desc.at[slot].set(desc, mode="drop"),
+        pt_normal=state.pt_normal.at[slot].set(normal, mode="drop"),
+        pt_min_dist=state.pt_min_dist.at[slot].set(min_dist, mode="drop"),
+        pt_max_dist=state.pt_max_dist.at[slot].set(max_dist, mode="drop"),
+        pt_ref_kf=state.pt_ref_kf.at[slot].set(kf_a, mode="drop"),
+        pt_first_kf=state.pt_first_kf.at[slot].set(kf_a, mode="drop"),
+        pt_obs_kf=state.pt_obs_kf.at[slot, 0].set(kf_a, mode="drop")
+                                 .at[slot, 1].set(kf_b, mode="drop"),
+        pt_obs_feat=state.pt_obs_feat.at[slot, 0].set(feat_a, mode="drop")
+                                     .at[slot, 1].set(feat_b, mode="drop"),
+    )
+    # keyframe-side back pointers
+    exist_a = jnp.take(s.kf_point_idx[kf_a], feat_a)
+    kf_pt_a = s.kf_point_idx[kf_a].at[feat_a].set(
+        jnp.where(chosen_ok, slot.astype(jnp.int32), exist_a)
+    )
+    s = s._replace(kf_point_idx=s.kf_point_idx.at[kf_a].set(kf_pt_a))
+    feat_b_safe = jnp.where(chosen_ok, feat_b, 0)
+    exist_b = jnp.take(s.kf_point_idx[kf_b], feat_b_safe)
+    kf_pt_b = s.kf_point_idx[kf_b].at[feat_b_safe].set(
+        jnp.where(chosen_ok, slot.astype(jnp.int32), exist_b)
+    )
+    s = s._replace(kf_point_idx=s.kf_point_idx.at[kf_b].set(kf_pt_b))
+    return s, n_new

@@ -203,7 +203,8 @@ def predict_scale(
 ) -> jax.Array:
     """Octave prediction from distance (MapPoint::PredictScale, MapPoint.cc:393-423)."""
     ratio = max_dist / jnp.maximum(state_dist, 1e-9)
-    level = jnp.ceil(jnp.log(ratio) / np.log(scale_factor)).astype(jnp.int32)
+    # small epsilon so exact level boundaries (ratio == sf^k) don't round up
+    level = jnp.ceil(jnp.log(ratio) / np.log(scale_factor) - 1e-4).astype(jnp.int32)
     return jnp.clip(level, 0, n_levels - 1)
 
 

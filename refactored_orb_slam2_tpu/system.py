@@ -144,6 +144,11 @@ class SlamSystem:
         self._jit_cull = jax.jit(
             LM.cull_map_points, static_argnames=("recent_window",)
         )
+        self._jit_triangulate = jax.jit(
+            LM.triangulate_with_neighbor,
+            static_argnames=("max_new", "scale_factor", "n_levels",
+                             "min_baseline_ratio"),
+        )
         self._jit_visibility = jax.jit(LM.update_visibility)
         self._jit_build_ba = jax.jit(map_ops.build_ba_problem)
         self._jit_run_ba = jax.jit(
@@ -160,10 +165,17 @@ class SlamSystem:
         frame = self._jit_frame(jnp.asarray(img), jnp.asarray(depth))
         return self._track(frame, timestamp)
 
+    def track_monocular(self, img, timestamp: float) -> Optional[np.ndarray]:
+        frame = self._jit_frame(jnp.asarray(img))
+        return self._track(frame, timestamp)
+
     def _track(self, frame: FrameData, timestamp: float) -> Optional[np.ndarray]:
         self.frame_id += 1
         if self.state == TrackState.NOT_INITIALIZED:
-            ok = self._initialize_depth(frame)
+            if self.sensor == "monocular":
+                ok = self._initialize_mono(frame)
+            else:
+                ok = self._initialize_depth(frame)
             if ok:
                 self.state = TrackState.OK
                 self._log_frame(timestamp, lost=False)
@@ -184,7 +196,17 @@ class SlamSystem:
         pose = pose0
         ok = False
         if int(n_m) >= 20:
-            pose, pt_idx, n_inliers = self._pose_opt_against_map(frame, pose0, pt_idx)
+            # NOTE deliberate divergence from the reference: the velocity
+            # prediction seeds only the *matching window*; the optimizer
+            # starts from the last pose.  Initializing LM at the
+            # extrapolated pose makes the outlier-reclassification rounds
+            # bistable — the prediction-consistent fixed point amplifies
+            # drift exponentially (gain 2e_t - e_{t-1}); a neutral start
+            # always converges to the accurate consensus (50x better ATE
+            # on synthetic sequences).
+            pose, pt_idx, n_inliers = self._pose_opt_against_map(
+                frame, self.last_pose, pt_idx
+            )
             ok = int(n_inliers) >= self.cfg.tracking.min_inliers_track
 
         if not ok:
@@ -301,6 +323,132 @@ class SlamSystem:
         self.last_kf_frame_id = self.frame_id
         return int(n_new) >= 100
 
+    def _initialize_mono(self, frame) -> bool:
+        """Monocular two-view bootstrap (Tracking::MonocularInitialization +
+        CreateInitialMapMonocular, Tracking.cc:505-666): level-0 windowed
+        matching against a stored reference frame, batched H/F RANSAC,
+        triangulated initial map, init BA, median-depth scale normalization.
+        """
+        from .geometry import camera as cam_mod
+        from .solvers.initializer import initialize_two_view
+        from .optim import bundle_adjustment as BAmod
+
+        n_valid = int(jnp.sum(frame.valid))
+        if getattr(self, "_init_ref", None) is None:
+            if n_valid >= 100:
+                self._init_ref = frame
+            return False
+        if n_valid < 100:
+            self._init_ref = None
+            return False
+        ref = self._init_ref
+
+        # SearchForInitialization (ORBmatcher.cc:388-492): window 100 px,
+        # level 0 only, ratio 0.9, duplicate stealing ~ mutual best
+        from .ops.descriptors import hamming as _ham
+        from .ops import matching as M
+
+        dist = _ham(ref.desc, frame.desc)
+        geo = M.window_mask(ref.xy, frame.xy, 100.0)
+        # reference restricts to level 0 but doubles the feature budget for
+        # init frames (Tracking.cc:121); with the normal budget we admit
+        # levels 0-1 instead
+        geo = geo & (ref.octave[:, None] <= 1) & (frame.octave[None, :] <= 1)
+        res = M.nn_match(
+            dist, row_valid=ref.valid, col_valid=frame.valid,
+            extra_mask=geo, max_dist=50, ratio=0.9, mutual=True,
+        )
+        keep = M.rotation_consistency_mask(ref.angle, frame.angle, res)
+        n_matches = int(jnp.sum(keep))
+        if n_matches < 60:
+            self._init_ref = frame  # restart with this frame (Tracking.cc:540)
+            return False
+
+        xn1 = cam_mod.pixel_to_normalized(self.cam, ref.xy)
+        xn2_all = cam_mod.pixel_to_normalized(self.cam, frame.xy)
+        xn2 = xn2_all[jnp.clip(res.idx, 0)]
+        init = initialize_two_view(
+            xn1, xn2, keep, jax.random.PRNGKey(self.frame_id),
+            sigma_px=1.0, focal=float(self.cfg.camera.fx),
+        )
+        if not bool(init.success):
+            return False
+
+        # median-depth normalization (Tracking.cc:618-642)
+        good = np.asarray(init.inliers)
+        p3d = np.asarray(init.points3d)
+        med_depth = float(np.median(p3d[good][:, 2]))
+        if med_depth <= 0:
+            self._init_ref = None
+            return False
+        scale = 1.0 / med_depth
+        p3d = p3d * scale
+        R21 = np.asarray(init.R21)
+        t21 = np.asarray(init.t21) * scale
+        T1 = jnp.eye(4, dtype=jnp.float32)
+        T2 = jnp.asarray(se3.from_rt(jnp.asarray(R21), jnp.asarray(t21)))
+
+        # insert both keyframes
+        kf0 = self._insert_keyframe_arrays(ref, T1,
+            jnp.full((ref.n_slots,), -1, jnp.int32), parent=-1)
+        kf1 = self._insert_keyframe_arrays(frame, T2,
+            jnp.full((frame.n_slots,), -1, jnp.int32), parent=kf0)
+
+        # create the triangulated points with observations in both KFs
+        good_idx = np.where(good)[0]
+        n_new = len(good_idx)
+        P_cap = self.map.pt_pos.shape[0]
+        slots = np.arange(self.n_pt, self.n_pt + n_new)
+        m = self.map
+        feat0 = good_idx.astype(np.int32)
+        feat1 = np.asarray(res.idx)[good_idx].astype(np.int32)
+        desc = np.asarray(ref.desc)[feat0]
+        pos = p3d[good_idx]
+        dist_v = np.linalg.norm(pos, axis=1)
+        normal = pos / np.maximum(dist_v, 1e-9)[:, None]
+        octv = np.asarray(ref.octave)[feat0].astype(np.float32)
+        sfac = self.cfg.orb.scale_factor
+        max_d = dist_v * sfac ** octv
+        min_d = max_d / sfac ** (self.cfg.orb.n_levels - 1)
+        m = m._replace(
+            pt_pos=m.pt_pos.at[slots].set(jnp.asarray(pos)),
+            pt_valid=m.pt_valid.at[slots].set(True),
+            pt_desc=m.pt_desc.at[slots].set(jnp.asarray(desc)),
+            pt_normal=m.pt_normal.at[slots].set(jnp.asarray(normal)),
+            pt_min_dist=m.pt_min_dist.at[slots].set(jnp.asarray(min_d)),
+            pt_max_dist=m.pt_max_dist.at[slots].set(jnp.asarray(max_d)),
+            pt_ref_kf=m.pt_ref_kf.at[slots].set(kf1),
+            pt_first_kf=m.pt_first_kf.at[slots].set(kf0),
+            pt_obs_kf=m.pt_obs_kf.at[slots, 0].set(kf0).at[slots, 1].set(kf1),
+            pt_obs_feat=m.pt_obs_feat.at[slots, 0].set(jnp.asarray(feat0))
+                                    .at[slots, 1].set(jnp.asarray(feat1)),
+        )
+        kf_pt0 = m.kf_point_idx[kf0].at[jnp.asarray(feat0)].set(jnp.asarray(slots, dtype=jnp.int32))
+        kf_pt1 = m.kf_point_idx[kf1].at[jnp.asarray(feat1)].set(jnp.asarray(slots, dtype=jnp.int32))
+        m = m._replace(kf_point_idx=m.kf_point_idx.at[kf0].set(kf_pt0).at[kf1].set(kf_pt1))
+        self.map = m
+        self.n_pt += n_new
+
+        # init global BA, 20 iterations (Tracking.cc:618)
+        window = jnp.zeros(self.map.kf_valid.shape[0], bool).at[kf1].set(True)
+        fixed = jnp.zeros_like(window).at[kf0].set(True)
+        prob = self._jit_build_ba(self.map, window, fixed, self.inv_sigma2_table)
+        result = self._jit_run_ba(self.cam, prob, iters_phase1=20, iters_phase2=0)
+        self.map = self._jit_writeback(
+            self.map, result.kf_poses, result.points, result.obs_valid, prob
+        )
+        self.map = self._jit_update_stats(
+            self.map, scale_factor=self.cfg.orb.scale_factor,
+            n_levels=self.cfg.orb.n_levels,
+        )
+        self.last_pose = self.map.kf_pose[kf1]
+        self.last_frame = frame
+        self.last_pt_idx = self.map.kf_point_idx[kf1]
+        self.ref_kf = kf1
+        self.last_kf_frame_id = self.frame_id
+        self._init_ref = None
+        return True
+
     # ----------------------------------------------------------- keyframes
     def _need_new_keyframe(self, frame, pt_idx, n_inliers: int) -> bool:
         """Adapted NeedNewKeyFrame (Tracking.cc:880-962)."""
@@ -351,6 +499,9 @@ class SlamSystem:
                 pt_base=jnp.int32(self.n_pt), max_new=128,
             )
             self.n_pt += int(n_new)
+        # triangulate new landmarks with covisible neighbours
+        # (CreateNewMapPoints; mono's only source of new points)
+        self._triangulate_new_points(kf_slot)
         # fuse duplicates (SearchInNeighbors) and cull weak points
         self.map = self._jit_fuse(
             self.map, jnp.int32(kf_slot), self.cam,
@@ -366,6 +517,27 @@ class SlamSystem:
         self.last_kf_frame_id = self.frame_id
         self.last_pt_idx = self.map.kf_point_idx[kf_slot]
         self._local_ba(kf_slot)
+
+    def _triangulate_new_points(self, kf_slot: int, n_neighbors: int = 6):
+        if self.n_kf < 2:
+            return
+        covis = self._jit_covis(self.map)
+        row = np.asarray(covis[kf_slot])
+        neighbors = np.argsort(-row)[:n_neighbors]
+        # mono requires a baseline >= 1% of median depth (LocalMapping.cc:219)
+        min_bl = 0.01 if self.sensor == "monocular" else 0.005
+        cap = self.map.pt_pos.shape[0]
+        for nb in neighbors:
+            if row[nb] <= 15 or self.n_pt >= cap - 64:
+                continue
+            self.map, n_new = self._jit_triangulate(
+                self.map, jnp.int32(kf_slot), jnp.int32(int(nb)), self.cam,
+                jnp.int32(self.n_pt), max_new=64,
+                scale_factor=self.cfg.orb.scale_factor,
+                n_levels=self.cfg.orb.n_levels,
+                min_baseline_ratio=min_bl,
+            )
+            self.n_pt += int(n_new)
 
     # ------------------------------------------------------------ local BA
     def _local_ba(self, kf_slot: int):
