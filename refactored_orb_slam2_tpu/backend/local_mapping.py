@@ -389,3 +389,48 @@ def triangulate_with_neighbor(
     )
     s = s._replace(kf_point_idx=s.kf_point_idx.at[kf_b].set(kf_pt_b))
     return s, n_new
+
+
+def keyframe_redundancy(
+    state: MapState,
+    kf_slot: jax.Array,
+    *,
+    min_obs: int = 3,
+) -> jax.Array:
+    """Fraction of keyframe ``kf_slot``'s landmarks that are redundantly
+    observed (>= 3 other keyframes at the same or finer octave) —
+    LocalMapping::KeyFrameCulling (LocalMapping.cc:595-655).  The caller
+    culls the keyframe when the ratio exceeds 0.9.
+    """
+    K, N, P, O = state.capacity
+    pt = state.kf_point_idx[kf_slot]                     # (N,)
+    has = (pt >= 0) & state.kf_feat_valid[kf_slot]
+    ptc = jnp.clip(pt, 0)
+    my_oct = state.kf_octave[kf_slot]                    # (N,)
+
+    obs_kf = state.pt_obs_kf[ptc]                        # (N, O)
+    obs_ft = state.pt_obs_feat[ptc]
+    obs_ok = (obs_kf >= 0) & (obs_kf != kf_slot)
+    obs_ok = obs_ok & jnp.take(state.kf_valid, jnp.clip(obs_kf, 0))
+    oct_other = state.kf_octave[jnp.clip(obs_kf, 0), jnp.clip(obs_ft, 0)]
+    scale_ok = oct_other <= my_oct[:, None] + 1
+    n_good = jnp.sum((obs_ok & scale_ok).astype(jnp.int32), axis=1)
+    redundant = has & (n_good >= min_obs)
+    n_pts = jnp.maximum(jnp.sum(has.astype(jnp.int32)), 1)
+    return jnp.sum(redundant.astype(jnp.int32)) / n_pts.astype(jnp.float32)
+
+
+def remove_keyframe(state: MapState, kf_slot: jax.Array) -> MapState:
+    """Invalidate a keyframe and drop its observations from all landmarks
+    (KeyFrame::SetBadFlag, KeyFrame.cc:416-505; spanning-tree re-parenting
+    is host-side bookkeeping)."""
+    K, N, P, O = state.capacity
+    drop = state.pt_obs_kf == kf_slot
+    return state._replace(
+        kf_valid=state.kf_valid.at[kf_slot].set(False),
+        pt_obs_kf=jnp.where(drop, -1, state.pt_obs_kf),
+        pt_obs_feat=jnp.where(drop, -1, state.pt_obs_feat),
+        kf_point_idx=state.kf_point_idx.at[kf_slot].set(
+            jnp.full((N,), -1, jnp.int32)
+        ),
+    )

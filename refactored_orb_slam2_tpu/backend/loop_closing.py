@@ -1,0 +1,200 @@
+"""Loop closing: detection, Sim3 alignment, correction, essential graph, GBA.
+
+Array-native replacement for the LoopClosing thread (LoopClosing.cc):
+
+- ``detect``       = DetectLoop (LoopClosing.cc:94-215): keyframe-gap gate,
+  dense BoW candidate retrieval (place.keyframe_db), covisibility-
+  consistency chaining over 3 consecutive keyframes.
+- ``compute_sim3`` = ComputeSim3 (LoopClosing.cc:217-373): descriptor
+  matching between the current and candidate keyframes restricted to
+  features holding map points, batched Horn Sim3 RANSAC (scale free for
+  monocular), inlier refit, match-count acceptance.
+- ``correct``      = CorrectLoop (LoopClosing.cc:375-563): propagate the
+  corrected Sim3 through the current keyframe's covisible group, remap
+  their landmarks, fuse loop-side landmarks, optimize the essential graph
+  (spanning tree + strong covisibility + loop edges; Sim3 for mono, SE3
+  otherwise), then run global BA (the reference spawns a GBA thread with
+  epoch invalidation; here mapping is synchronous so GBA runs inline).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry import se3, sim3
+from ..models.map_state import n_observations
+from ..ops import matching as M
+from ..ops.descriptors import hamming
+from ..optim import pose_graph as PG
+from ..solvers.horn_sim3 import horn_sim3, sim3_ransac
+
+
+@dataclasses.dataclass
+class LoopState:
+    """Host-side loop-closing bookkeeping (consistency chains, last loop)."""
+
+    consistent_groups: list = dataclasses.field(default_factory=list)
+    last_loop_kf: int = -1
+
+
+def detect(
+    loop_state: LoopState,
+    db,
+    covis: np.ndarray,
+    kf_slot: int,
+    query_bow,
+    *,
+    kf_gap: int = 10,
+    consistency_th: int = 3,
+    covis_neighbor_th: int = 15,
+) -> list[int]:
+    """Loop detection with covisibility-consistency chaining.
+
+    ``covis``: full (K, K) covisibility weight matrix.  Returns keyframe
+    slots that have been consistently detected over ``consistency_th``
+    consecutive keyframes (usually empty).
+    """
+    from ..place.keyframe_db import detect_loop_candidates
+
+    if loop_state.last_loop_kf >= 0 and kf_slot - loop_state.last_loop_kf < kf_gap:
+        return []
+    if kf_slot < kf_gap:
+        return []
+    cands, scores = detect_loop_candidates(
+        db, query_bow, kf_slot, jnp.asarray(covis[kf_slot])
+    )
+    cands = [int(c) for c in np.asarray(cands) if c >= 0]
+    if not cands:
+        loop_state.consistent_groups = []
+        return []
+
+    enough: list[int] = []
+    new_groups = []
+    for c in cands:
+        group = {c} | {
+            int(i) for i in np.where(covis[c] >= covis_neighbor_th)[0]
+        }
+        count = 0
+        for prev_group, prev_count in loop_state.consistent_groups:
+            if group & prev_group:
+                count = max(count, prev_count + 1)
+        new_groups.append((group, count))
+        if count + 1 >= consistency_th:
+            enough.append(c)
+    loop_state.consistent_groups = new_groups
+    return enough
+
+
+def compute_sim3(
+    state,
+    cam,
+    kf_cur: int,
+    kf_cand: int,
+    *,
+    fix_scale: bool,
+    key,
+    min_inliers: int = 20,
+) -> tuple[bool, np.ndarray, np.ndarray, float, np.ndarray]:
+    """Estimate S_cm mapping candidate-frame coords into current-frame.
+
+    Returns (ok, R_cm, t_cm, s_cm, matched_pt_pairs (N, 2) point slots).
+    """
+    K, N, P, O = state.capacity
+    desc_c = state.kf_desc[kf_cur]
+    desc_m = state.kf_desc[kf_cand]
+    pt_c = state.kf_point_idx[kf_cur]
+    pt_m = state.kf_point_idx[kf_cand]
+    has_c = (pt_c >= 0) & state.kf_feat_valid[kf_cur]
+    has_m = (pt_m >= 0) & state.kf_feat_valid[kf_cand]
+
+    dist = hamming(desc_c, desc_m)
+    res = M.nn_match(
+        dist, row_valid=has_c, col_valid=has_m,
+        max_dist=50, ratio=0.75, mutual=True,
+    )
+    n_matches = int(jnp.sum(res.mask))
+    if n_matches < min_inliers:
+        return False, None, None, 1.0, None
+
+    # camera-frame 3D positions of the matched landmarks in each keyframe
+    Tc = state.kf_pose[kf_cur]
+    Tm = state.kf_pose[kf_cand]
+    ptc_idx = jnp.clip(pt_c, 0)
+    ptm_idx = jnp.clip(jnp.take(pt_m, jnp.clip(res.idx, 0)), 0)
+    p_c = se3.transform(Tc, state.pt_pos[ptc_idx])           # (N, 3)
+    p_m = se3.transform(Tm, state.pt_pos[ptm_idx])
+    xy_c = state.kf_xy[kf_cur]
+    xy_m = state.kf_xy[kf_cand][jnp.clip(res.idx, 0)]
+    xn_c = jnp.stack(
+        [(xy_c[:, 0] - cam.cx) / cam.fx, (xy_c[:, 1] - cam.cy) / cam.fy], axis=1
+    )
+    xn_m = jnp.stack(
+        [(xy_m[:, 0] - cam.cx) / cam.fx, (xy_m[:, 1] - cam.cy) / cam.fy], axis=1
+    )
+    # chi2 9.21 * sigma2 in pixels -> normalized (Sim3Solver.cc:85-86)
+    oct_c = jnp.clip(state.kf_octave[kf_cur], 0, 7)
+    sf = 1.2 ** oct_c.astype(jnp.float32)
+    th1 = 9.21 * (sf / cam.fx) ** 2
+    result = sim3_ransac(
+        p_c, p_m, xn_c, xn_m, res.mask, key,
+        fix_scale=fix_scale, chi2_th1=th1, chi2_th2=th1,
+        min_inliers=min_inliers,
+    )
+    if not bool(result.success):
+        return False, None, None, 1.0, None
+    # refit on inliers (masked Horn): weighted by duplicating inlier rows is
+    # overkill — take the top inlier subset
+    inl = np.asarray(result.inliers)
+    idx = np.where(inl)[0]
+    R_r, t_r, s_r = horn_sim3(
+        jnp.asarray(np.asarray(p_c)[idx]), jnp.asarray(np.asarray(p_m)[idx]),
+        fix_scale=fix_scale,
+    )
+    pairs = np.stack(
+        [np.asarray(ptc_idx)[idx], np.asarray(ptm_idx)[idx]], axis=1
+    )
+    return True, np.asarray(R_r), np.asarray(t_r), float(s_r), pairs
+
+
+def build_essential_graph_edges(
+    kf_parent: np.ndarray,
+    covis: np.ndarray,
+    kf_valid: np.ndarray,
+    loop_pairs: list[tuple[int, int]],
+    poses_R: jax.Array,
+    poses_t: jax.Array,
+    poses_s: jax.Array,
+    *,
+    min_covis_weight: int = 100,
+) -> PG.PoseGraphEdges:
+    """Essential-graph topology (Optimizer.cc:796-1000): spanning tree +
+    covisibility edges above weight 100 + loop edges.  Measurements from the
+    *pre-correction* poses except loop edges, which the caller appends with
+    their Sim3 measurements."""
+    ii, jj = [], []
+    K = len(kf_parent)
+    for k in range(K):
+        if not kf_valid[k]:
+            continue
+        p = kf_parent[k]
+        if p >= 0 and kf_valid[p]:
+            ii.append(p)
+            jj.append(k)
+    cov = np.triu(covis, 1)
+    strong = np.argwhere(cov >= min_covis_weight)
+    for a, b in strong:
+        if kf_valid[a] and kf_valid[b]:
+            ii.append(int(a))
+            jj.append(int(b))
+    for a, b in loop_pairs:
+        ii.append(int(a))
+        jj.append(int(b))
+    i = jnp.asarray(ii, jnp.int32)
+    j = jnp.asarray(jj, jnp.int32)
+    return PG.make_edges_from_poses(
+        i, j, poses_R, poses_t, poses_s, jnp.ones(len(ii), bool)
+    )

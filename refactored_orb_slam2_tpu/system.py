@@ -23,9 +23,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from .backend import local_mapping as LM
+from .backend import loop_closing as LC
 from .frontend.frame import FrameData, build_frame_mono, build_frame_rgbd, build_frame_stereo
 from .frontend import tracking_kernels as TK
-from .geometry import se3
+from .geometry import se3, sim3
 from .geometry.camera import Camera
 from .models import map_ops
 from .models.map_state import (
@@ -85,6 +86,12 @@ class SlamSystem:
             np.float32,
         )
 
+        # place recognition (lazy vocabulary training on first keyframe)
+        self.vocab = None
+        self.db = None
+        self.loop_state = LC.LoopState()
+        self.loop_closing_enabled = True
+
         self.state = TrackState.NOT_INITIALIZED
         self.frame_id = -1
         self.last_frame: Optional[FrameData] = None
@@ -95,6 +102,10 @@ class SlamSystem:
         self.last_kf_frame_id = -1
         self.trajectory: list[FrameLog] = []
         self.localization_only = False
+        # culled keyframes: slot -> (T_this_to_parent, parent_slot) so the
+        # trajectory saver can chain through the spanning tree like the
+        # reference (System.cc:372-390)
+        self.culled_chain: dict[int, tuple[np.ndarray, int]] = {}
 
         self._build_jits()
 
@@ -144,6 +155,10 @@ class SlamSystem:
         self._jit_cull = jax.jit(
             LM.cull_map_points, static_argnames=("recent_window",)
         )
+        self._jit_kf_redundancy = jax.jit(
+            LM.keyframe_redundancy, static_argnames=("min_obs",)
+        )
+        self._jit_remove_kf = jax.jit(LM.remove_keyframe)
         self._jit_triangulate = jax.jit(
             LM.triangulate_with_neighbor,
             static_argnames=("max_new", "scale_factor", "n_levels",
@@ -181,6 +196,17 @@ class SlamSystem:
                 self._log_frame(timestamp, lost=False)
                 return np.asarray(self.last_pose)
             return None
+
+        if self.state == TrackState.LOST:
+            ok_reloc, pose = self._relocalize(frame)
+            if not ok_reloc:
+                self._log_frame(timestamp, lost=True)
+                return None
+            # re-anchor and continue with local-map tracking below
+            self.velocity = None
+            self.last_pose = pose
+            self.last_frame = frame
+            self.last_pt_idx = jnp.full((frame.n_slots,), -1, jnp.int32)
 
         # --- pose prediction + motion-model tracking ----------------------
         pose0 = (
@@ -487,7 +513,21 @@ class SlamSystem:
             frame.valid, matched_pt, jnp.int32(parent),
         )
         self.n_kf += 1
+        self._register_keyframe_bow(kf_slot, frame)
         return kf_slot
+
+    def _register_keyframe_bow(self, kf_slot, frame):
+        """Train the vocabulary lazily on the first keyframe's descriptors,
+        then add every keyframe's tf-idf signature to the database."""
+        from .place.vocab import train_vocabulary
+        from .place.keyframe_db import KeyFrameDB
+
+        if self.vocab is None:
+            descs = np.asarray(frame.desc)[np.asarray(frame.valid)]
+            n_words = min(256, max(32, len(descs) // 4))
+            self.vocab = train_vocabulary(descs, n_words=n_words, iters=4)
+            self.db = KeyFrameDB(self.vocab, self.cfg.map.max_keyframes)
+        self.db.add(kf_slot, frame.desc, frame.valid)
 
     def _create_keyframe(self, frame, pose, pt_idx):
         kf_slot = self._insert_keyframe_arrays(frame, pose, pt_idx, parent=self.ref_kf)
@@ -517,6 +557,9 @@ class SlamSystem:
         self.last_kf_frame_id = self.frame_id
         self.last_pt_idx = self.map.kf_point_idx[kf_slot]
         self._local_ba(kf_slot)
+        self._cull_keyframes(kf_slot)
+        if self.loop_closing_enabled:
+            self._try_close_loop(kf_slot)
 
     def _triangulate_new_points(self, kf_slot: int, n_neighbors: int = 6):
         if self.n_kf < 2:
@@ -566,12 +609,256 @@ class SlamSystem:
         # keep the tracker's pose consistent with the adjusted keyframe
         self.last_pose = self.map.kf_pose[kf_slot]
 
+    def _cull_keyframes(self, kf_slot: int):
+        """KeyFrameCulling: drop covisible keyframes with >= 90% redundant
+        landmarks (LocalMapping.cc:595-655)."""
+        if self.n_kf < 5:
+            return
+        covis = np.asarray(self._jit_covis(self.map))
+        candidates = np.where(covis[kf_slot] >= 15)[0]
+        parents = np.asarray(self.map.kf_parent)
+        for cand in candidates:
+            cand = int(cand)
+            if cand == 0 or cand == kf_slot or cand == self.ref_kf:
+                continue
+            ratio = float(self._jit_kf_redundancy(self.map, jnp.int32(cand)))
+            if ratio < 0.9:
+                continue
+            parent = int(parents[cand])
+            if parent < 0:
+                continue
+            T_cp = np.asarray(
+                self.map.kf_pose[cand] @ se3.inv(self.map.kf_pose[parent])
+            )
+            self.culled_chain[cand] = (T_cp, parent)
+            # re-parent children to the culled keyframe's parent
+            children = np.where(parents == cand)[0]
+            new_parent = self.map.kf_parent
+            for ch in children:
+                new_parent = new_parent.at[int(ch)].set(parent)
+            self.map = self.map._replace(kf_parent=new_parent)
+            self.map = self._jit_remove_kf(self.map, jnp.int32(cand))
+            if self.db is not None:
+                self.db.erase(cand)
+            parents = np.asarray(self.map.kf_parent)
+
+    # -------------------------------------------------------- relocalization
+    def _relocalize(self, frame) -> tuple[bool, Optional[jnp.ndarray]]:
+        """Relocalization after tracking loss (Tracking.cc:1217-1363):
+        BoW candidate keyframes -> descriptor matching against their
+        landmark-holding features -> batched EPnP RANSAC -> pose
+        optimization, accept at >= 30 inliers (the reference polishes to
+        50 with projection rescue; our local-map pass afterwards plays
+        that role)."""
+        from .place.keyframe_db import detect_reloc_candidates
+        from .solvers.epnp import epnp_ransac
+        from .geometry import camera as cam_mod
+        from .ops.descriptors import hamming as _ham
+        from .ops import matching as M
+
+        if self.db is None:
+            return False, None
+        bow = self.db.signature_of(frame.desc, frame.valid)
+        cands, _ = detect_reloc_candidates(self.db, bow)
+        for cand in np.asarray(cands):
+            if cand < 0:
+                continue
+            cand = int(cand)
+            pt_idx_kf = self.map.kf_point_idx[cand]
+            has_pt = (pt_idx_kf >= 0) & self.map.kf_feat_valid[cand]
+            dist = _ham(self.map.kf_desc[cand], frame.desc)
+            res = M.nn_match(
+                dist, row_valid=has_pt, col_valid=frame.valid,
+                max_dist=50, ratio=0.75, mutual=True,
+            )
+            if int(jnp.sum(res.mask)) < 15:
+                continue
+            pw = self.map.pt_pos[jnp.clip(pt_idx_kf, 0)]
+            xn = cam_mod.pixel_to_normalized(
+                self.cam, frame.xy[jnp.clip(res.idx, 0)]
+            )
+            sigma2 = (1.0 / float(self.cfg.camera.fx)) ** 2
+            pnp = epnp_ransac(
+                pw, xn, res.mask, jax.random.PRNGKey(self.frame_id),
+                sigma2=sigma2, chi2_th=5.991, min_inliers=10,
+            )
+            if not bool(pnp.success):
+                continue
+            # pose optimization on the EPnP inlier associations
+            pt_of_feat = jnp.full((frame.n_slots,), -1, jnp.int32)
+            col = jnp.where(res.mask & pnp.inliers, res.idx, frame.n_slots)
+            pt_of_feat = pt_of_feat.at[col].set(
+                jnp.where(res.mask & pnp.inliers, pt_idx_kf, -1).astype(jnp.int32),
+                mode="drop",
+            )
+            pose, pt_idx, n_inl = self._pose_opt_against_map(
+                frame, pnp.Tcw, pt_of_feat
+            )
+            if int(n_inl) >= 15:
+                self.ref_kf = cand
+                self.state = TrackState.OK
+                self.last_pt_idx = pt_idx
+                return True, pose
+        return False, None
+
+    # ---------------------------------------------------------- loop closing
+    def _try_close_loop(self, kf_slot: int) -> bool:
+        """Detect and correct a loop at keyframe ``kf_slot``
+        (LoopClosing::Run body, synchronous)."""
+        if self.db is None or self.n_kf < self.cfg.loop.kf_gap + 2:
+            return False
+        covis = np.asarray(self._jit_covis(self.map))
+        bow = self.db.bow[kf_slot]
+        cands = LC.detect(
+            self.loop_state, self.db, covis, kf_slot, bow,
+            kf_gap=self.cfg.loop.kf_gap,
+            consistency_th=self.cfg.loop.covisibility_consistency_th,
+        )
+        for cand in cands:
+            ok, R_cm, t_cm, s_cm, pairs = LC.compute_sim3(
+                self.map, self.cam, kf_slot, cand,
+                fix_scale=self.sensor != "monocular",
+                key=jax.random.PRNGKey(self.frame_id),
+                min_inliers=self.cfg.loop.min_bow_matches,
+            )
+            if not ok:
+                continue
+            self._correct_loop(kf_slot, cand, R_cm, t_cm, s_cm)
+            return True
+        return False
+
+    def _correct_loop(self, kf_cur: int, kf_loop: int, R_cm, t_cm, s_cm):
+        """CorrectLoop (LoopClosing.cc:375-563): Sim3 propagation through
+        the covisible group, essential-graph optimization, point correction,
+        global BA."""
+        from .optim import pose_graph as PG
+
+        K = self.map.kf_pose.shape[0]
+        kf_valid = np.asarray(self.map.kf_valid)
+        covis = np.asarray(self._jit_covis(self.map))
+        old_pose = np.asarray(self.map.kf_pose)
+        old_R = jnp.asarray(old_pose[:, :3, :3])
+        old_t = jnp.asarray(old_pose[:, :3, 3])
+        old_s = jnp.ones(K, jnp.float32)
+
+        # corrected Sim3 of the current keyframe: S_cw = S_cm * S_mw
+        S_mw = (jnp.asarray(old_pose[kf_loop, :3, :3]),
+                jnp.asarray(old_pose[kf_loop, :3, 3]),
+                jnp.asarray(1.0, jnp.float32))
+        S_cw = sim3.compose(jnp.asarray(R_cm), jnp.asarray(t_cm),
+                            jnp.asarray(np.float32(s_cm)), *S_mw)
+
+        # propagate to the covisible group (LoopClosing.cc:413-470)
+        group = {kf_cur} | {
+            int(i) for i in np.where(covis[kf_cur] >= 15)[0] if kf_valid[i]
+        }
+        new_R = old_R
+        new_t = old_t
+        new_s = old_s
+        T_cw_old = jnp.asarray(old_pose[kf_cur])
+        for i in sorted(group):
+            T_ic = jnp.asarray(old_pose[i]) @ se3.inv(T_cw_old)
+            S_iw = sim3.compose(
+                T_ic[:3, :3], T_ic[:3, 3], jnp.asarray(1.0, jnp.float32), *S_cw
+            )
+            new_R = new_R.at[i].set(S_iw[0])
+            new_t = new_t.at[i].set(S_iw[1])
+            new_s = new_s.at[i].set(S_iw[2])
+
+        # essential-graph edges from pre-correction poses + the loop edge
+        kf_parent = np.asarray(self.map.kf_parent)
+        loop_pairs = [(kf_loop, kf_cur)]
+        for k in range(self.n_kf):
+            for le in np.asarray(self.map.kf_loop_edges[k]):
+                if le >= 0 and le > k:
+                    loop_pairs.append((k, int(le)))
+        edges = LC.build_essential_graph_edges(
+            kf_parent, covis, kf_valid, loop_pairs[1:],
+            old_R, old_t, old_s,
+            min_covis_weight=self.cfg.map.ess_graph_min_weight,
+        )
+        # append the new loop edge with its measured Sim3: M_ji with i=loop,
+        # j=cur corrected: M = S_cw_corrected * S_mw^-1 = S_cm
+        loop_edge = PG.PoseGraphEdges(
+            i=jnp.asarray([kf_loop], jnp.int32),
+            j=jnp.asarray([kf_cur], jnp.int32),
+            R=jnp.asarray(R_cm)[None],
+            t=jnp.asarray(t_cm)[None],
+            s=jnp.asarray([np.float32(s_cm)]),
+            weight=jnp.asarray([1.0], jnp.float32),
+            valid=jnp.asarray([True]),
+        )
+        edges = PG.PoseGraphEdges(*[
+            jnp.concatenate([a, b], axis=0) for a, b in zip(edges, loop_edge)
+        ])
+
+        node_valid = jnp.asarray(kf_valid)
+        node_fixed = jnp.zeros(K, bool).at[kf_loop].set(True)
+        # initial values: corrected poses for the group, old elsewhere
+        opt_R, opt_t, opt_s = PG.optimize_pose_graph(
+            new_R, new_t, new_s, node_valid, node_fixed, edges,
+            fix_scale=self.sensor != "monocular",
+        )
+
+        # correct landmarks through their reference keyframes, then convert
+        # Sim3 nodes back to SE3 poses (t/s, LoopClosing.cc:488)
+        new_pts = PG.correct_points_after_pose_graph(
+            self.map.pt_pos, self.map.pt_ref_kf, old_R, old_t, old_s,
+            opt_R, opt_t, opt_s,
+        )
+        se3_t = opt_t / opt_s[:, None]
+        new_poses = jax.vmap(se3.from_rt)(opt_R, se3_t)
+        keep_old = ~jnp.asarray(kf_valid)
+        new_poses = jnp.where(
+            keep_old[:, None, None], self.map.kf_pose, new_poses
+        )
+        self.map = self.map._replace(
+            kf_pose=new_poses,
+            pt_pos=jnp.where(self.map.pt_valid[:, None], new_pts, self.map.pt_pos),
+            kf_loop_edges=self.map.kf_loop_edges.at[kf_cur, 0].set(kf_loop),
+        )
+        self.loop_state.last_loop_kf = kf_cur
+        self.last_pose = self.map.kf_pose[kf_cur]
+        self.velocity = None
+
+        # fuse loop-side landmarks into the corrected neighbourhood, then
+        # global BA (10 iters, RunGlobalBundleAdjustment semantics)
+        self.map = self._jit_fuse(
+            self.map, jnp.int32(kf_cur), self.cam,
+            budget=2048, scale_factor=self.cfg.orb.scale_factor,
+            n_levels=self.cfg.orb.n_levels,
+        )
+        window = jnp.asarray(kf_valid) & (jnp.arange(K) != 0)
+        fixed = jnp.zeros(K, bool).at[0].set(True)
+        prob = self._jit_build_ba(self.map, window, fixed, self.inv_sigma2_table)
+        result = self._jit_run_ba(self.cam, prob, iters_phase1=10, iters_phase2=0)
+        self.map = self._jit_writeback(
+            self.map, result.kf_poses, result.points, result.obs_valid, prob
+        )
+        self.map = self._jit_update_stats(
+            self.map, scale_factor=self.cfg.orb.scale_factor,
+            n_levels=self.cfg.orb.n_levels,
+        )
+        self.last_pose = self.map.kf_pose[kf_cur]
+
     # ----------------------------------------------------------- trajectory
     def _log_frame(self, timestamp, lost: bool):
         Tcr = np.asarray(self.last_pose @ se3.inv(self.map.kf_pose[self.ref_kf]))
         self.trajectory.append(
             FrameLog(self.frame_id, timestamp, Tcr, self.ref_kf, lost)
         )
+
+    def _resolve_kf_pose(self, kf: int, kf_poses: np.ndarray) -> np.ndarray:
+        """Pose of a (possibly culled) keyframe, chaining relative
+        transforms through the spanning tree (System.cc:372-390)."""
+        chain = np.eye(4, dtype=np.float32)
+        seen = 0
+        while kf in self.culled_chain and seen < 64:
+            T_cp, parent = self.culled_chain[kf]
+            chain = chain @ T_cp
+            kf = parent
+            seen += 1
+        return chain @ kf_poses[kf]
 
     def frame_poses(self) -> np.ndarray:
         """(n, 4, 4) Tcw per tracked frame, recomposed through current KF
@@ -582,7 +869,7 @@ class SlamSystem:
             if log.lost:
                 out.append(out[-1] if out else np.eye(4, dtype=np.float32))
                 continue
-            out.append(log.Tcr @ kf_poses[log.ref_kf])
+            out.append(log.Tcr @ self._resolve_kf_pose(log.ref_kf, kf_poses))
         return np.stack(out)
 
     def camera_centers(self) -> np.ndarray:
