@@ -171,6 +171,35 @@ class SlamSystem:
         )
         self._jit_writeback = jax.jit(map_ops.writeback_ba)
 
+    # -------------------------------------------------------- facade control
+    def activate_localization_mode(self):
+        """Track against the frozen map without inserting keyframes
+        (System::ActivateLocalizationMode, System.cc:311-319)."""
+        self.localization_only = True
+
+    def deactivate_localization_mode(self):
+        self.localization_only = False
+
+    def reset(self):
+        """Full system reset: clear map, database, trajectory, counters
+        (System::Reset -> Tracking::Reset, Tracking.cc:1365-1409)."""
+        self.map = create_empty(self.cfg.map, self.n_feat_slots)
+        self.n_kf = 0
+        self.n_pt = 0
+        self.state = TrackState.NOT_INITIALIZED
+        self.last_frame = None
+        self.last_pose = None
+        self.last_pt_idx = None
+        self.velocity = None
+        self.ref_kf = 0
+        self.last_kf_frame_id = -1
+        self.trajectory = []
+        self.culled_chain = {}
+        self.vocab = None
+        self.db = None
+        self.loop_state = LC.LoopState()
+        self._init_ref = None
+
     # ------------------------------------------------------------- tracking
     def track_stereo(self, img_l, img_r, timestamp: float) -> Optional[np.ndarray]:
         frame = self._jit_frame(jnp.asarray(img_l), jnp.asarray(img_r))
@@ -198,6 +227,11 @@ class SlamSystem:
             return None
 
         if self.state == TrackState.LOST:
+            # auto-reset when lost right after initialization
+            # (Tracking.cc:421-428)
+            if self.n_kf <= 5 and not self.localization_only:
+                self.reset()
+                return None
             ok_reloc, pose = self._relocalize(frame)
             if not ok_reloc:
                 self._log_frame(timestamp, lost=True)
