@@ -19,7 +19,7 @@ from ..geometry import camera as cam_mod
 from ..geometry.camera import Camera
 from ..ops import image as image_ops
 from ..ops import stereo as stereo_ops
-from ..ops.orb import OrbFeatures, extract_orb, level_quotas, _extract_level
+from ..ops.orb import OrbFeatures, extract_orb, level_quotas
 from ..utils.config import ORBConfig
 
 

@@ -38,20 +38,23 @@ def _gaussian_kernel1d(ksize: int, sigma: float) -> np.ndarray:
 
 
 def gaussian_blur(img: jax.Array, ksize: int = 7, sigma: float = 2.0) -> jax.Array:
-    """Separable Gaussian blur with reflect-101 borders (OpenCV default)."""
-    k = jnp.asarray(_gaussian_kernel1d(ksize, sigma))
+    """Separable Gaussian blur with reflect-101 borders (OpenCV default).
+
+    Implemented as static shifted adds on the VPU — several times faster on
+    TPU than routing a 1-channel conv through the convolution emitter.
+    """
+    k = _gaussian_kernel1d(ksize, sigma)
     pad = ksize // 2
+    h, w = img.shape
     x = jnp.pad(img, ((pad, pad), (0, 0)), mode="reflect")
-    x = jax.lax.conv_general_dilated(
-        x[None, None, :, :], k[None, None, :, None],
-        window_strides=(1, 1), padding="VALID",
-    )[0, 0]
-    x = jnp.pad(x, ((0, 0), (pad, pad)), mode="reflect")
-    x = jax.lax.conv_general_dilated(
-        x[None, None, :, :], k[None, None, None, :],
-        window_strides=(1, 1), padding="VALID",
-    )[0, 0]
-    return x
+    out = k[0] * x[0:h, :]
+    for i in range(1, ksize):
+        out = out + k[i] * x[i : i + h, :]
+    x = jnp.pad(out, ((0, 0), (pad, pad)), mode="reflect")
+    out = k[0] * x[:, 0:w]
+    for i in range(1, ksize):
+        out = out + k[i] * x[:, i : i + w]
+    return out
 
 
 def resize_bilinear(img: jax.Array, out_h: int, out_w: int) -> jax.Array:

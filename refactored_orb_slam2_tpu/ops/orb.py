@@ -6,12 +6,16 @@ two-threshold cell fallback -> 3x3 NMS -> spatially-balanced top-k selection
 -> intensity-centroid orientation -> Gaussian blur -> rotated rBRIEF, all
 with static shapes (padded keypoint banks + validity masks).
 
-Spatial balancing: the reference runs a greedy quad-tree
-(DistributeOctTree, ORBextractor.cc:529-731) to keep one best corner per
-spatial node.  The array-native equivalent here keeps the best corner of
-every 30x30 cell first (a "cell winner" bonus added to the score before a
-single top-k), which yields the same uniform-coverage behavior without
-data-dependent control flow.
+Performance notes (v5e, 640x480, 1000 features, 8 levels):
+- spatial balancing keeps the best corner of every 30x30 cell (a "cell
+  winner" bonus before one approx-top-k) — the array-native equivalent of
+  the reference's greedy quad-tree (DistributeOctTree);
+- orientation moments m10/m01 are computed for the whole level via integral
+  columns + 31-tap weighted shifts (VPU), then gathered at keypoints — no
+  per-keypoint patch extraction;
+- descriptors sample 512 rotated points per keypoint with ONE flat gather
+  from a row-stacked blurred pyramid;
+- selection uses jax.lax.approx_max_k (TPU-optimized).
 """
 
 from __future__ import annotations
@@ -28,9 +32,8 @@ from . import image as image_ops
 from .descriptors import pack_bits
 from .orb_pattern import BRIEF_PATTERN
 
-EDGE_MARGIN = 19       # descriptor patch radius (EDGE_THRESHOLD, ORBextractor.cc:31)
-PATCH = 2 * EDGE_MARGIN + 1   # 39x39 gathered patch
-HALF_PATCH = 15        # IC_Angle circular patch radius (ORBextractor.cc:32)
+EDGE_MARGIN = 19       # descriptor sample radius bound (EDGE_THRESHOLD)
+HALF_PATCH = 15        # IC_Angle patch radius (ORBextractor.cc:32)
 CELL = 30              # FAST cell size (ORBextractor.cc:754)
 
 
@@ -65,27 +68,74 @@ def level_quotas(n_features: int, n_levels: int, scale_factor: float):
 
 
 @functools.lru_cache(maxsize=None)
-def _circular_mask_weights():
-    """(31, 31) x-weight, y-weight, and mask arrays for IC_Angle."""
+def _ic_angle_row_weights():
+    """Per-row half-width u_max of the circular radius-15 patch, plus the
+    dx weight vector, for the separable moment computation."""
     r = HALF_PATCH
-    dy, dx = np.mgrid[-r : r + 1, -r : r + 1]
-    mask = (dx * dx + dy * dy) <= r * r
-    wx = (dx * mask).astype(np.float32)
-    wy = (dy * mask).astype(np.float32)
-    return wx, wy
+    dy = np.arange(-r, r + 1)
+    u_max = np.floor(np.sqrt(np.maximum(r * r - dy * dy, 0)) + 0.5).astype(np.int32)
+    return dy.astype(np.float32), u_max
 
 
-def _extract_level(
-    img: jax.Array,
-    img_blur: jax.Array,
-    quota: int,
-    ini_th: float,
-    min_th: float,
-):
-    """Detect, select, orient and describe up to ``quota`` corners on one level.
+def _moment_maps(img: jax.Array):
+    """(H, W) -> (m10, m01) maps over the circular radius-15 patch.
 
-    Returns (xy_level float32 (q,2) in level coords, response (q,),
-    angle (q,), desc (q,8) uint32, valid (q,)).
+    Row-decomposed: for each dy in [-15, 15], the circular patch contributes
+    row y+dy over x in [-u_max(dy), u_max(dy)].  Using x-integral images:
+      m10(x,y) = sum_dy [ S1x(x+u, y+dy) - S1x(x-u-1, y+dy) ]
+                 - x * (rowsum)      with S1x = cumsum(x * I) ... simplified
+    Here: rowsum_u(x,y) = sum_{|dx|<=u} I(x+dx, y)  via integral image,
+          rowwsum_u(x,y) = sum dx*I  via weighted integral image.
+    m10 = sum_dy rowwsum_{u(dy)}(x, y+dy)
+    m01 = sum_dy dy * rowsum_{u(dy)}(x, y+dy)
+    All static shifts; O(31) VPU passes per level.
+    """
+    h, w = img.shape
+    dys, u_max = _ic_angle_row_weights()
+    xs = jnp.arange(w, dtype=jnp.float32)
+    # integral images along x, zero-prepended so sum[a..b] = S[b+1]-S[a]
+    S0 = jnp.concatenate([jnp.zeros((h, 1)), jnp.cumsum(img, axis=1)], axis=1)
+    Sx = jnp.concatenate(
+        [jnp.zeros((h, 1)), jnp.cumsum(img * xs[None, :], axis=1)], axis=1
+    )
+
+    def row_sums(u):
+        """(H, W) sums over x-window [-u, u]: plain and x-weighted-centred.
+
+        Static-shift formulation: hi(x) = S[x+u+1] (edge-padded right),
+        lo(x) = S[x-u] (zero-padded left; S[0] = 0)."""
+        hi0 = jnp.pad(S0, ((0, 0), (0, u)), mode="edge")[:, u + 1 : u + 1 + w]
+        lo0 = jnp.pad(S0, ((0, 0), (u, 0)))[:, :w]
+        hix = jnp.pad(Sx, ((0, 0), (0, u)), mode="edge")[:, u + 1 : u + 1 + w]
+        lox = jnp.pad(Sx, ((0, 0), (u, 0)))[:, :w]
+        s0 = hi0 - lo0
+        sx = hix - lox
+        # centre the x weight: sum (x' - x) I = sx - x * s0
+        return s0, sx - xs[None, :] * s0
+
+    m10 = jnp.zeros((h, w), img.dtype)
+    m01 = jnp.zeros((h, w), img.dtype)
+    # group rows by u to reuse row_sums (u takes ~16 distinct values)
+    u_groups = {}
+    for dy, u in zip(dys.astype(int), u_max):
+        u_groups.setdefault(int(u), []).append(int(dy))
+    for u, dy_list in u_groups.items():
+        s0, sxc = row_sums(u)
+        for dy in dy_list:
+            # row y reads source row y+dy (rows near the border wrap, but
+            # detection masks a 19-px border anyway)
+            s0_shift = jnp.roll(s0, -dy, axis=0)
+            sxc_shift = jnp.roll(sxc, -dy, axis=0)
+            m10 = m10 + sxc_shift
+            m01 = m01 + dy * s0_shift
+    return m10, m01
+
+
+def _detect_level(img: jax.Array, quota: int, ini_th: float, min_th: float):
+    """FAST + two-threshold fallback + NMS + balanced selection on one level.
+
+    Returns integer corner coords (ys, xs), sub-pixel offsets, response,
+    valid mask — all shaped (quota,).
     """
     h, w = img.shape
     score_ini, corner_ini = fast_ops.fast_score_and_corners(img, ini_th)
@@ -95,7 +145,6 @@ def _extract_level(
     nms = fast_ops.nonmax_suppress_3x3(score)
     score = jnp.where(nms & corner, score, 0.0)
 
-    # keep clear of borders so the 39x39 patch gather stays in-bounds
     yy = jnp.arange(h)[:, None]
     xx = jnp.arange(w)[None, :]
     interior = (
@@ -114,72 +163,27 @@ def _extract_level(
     is_winner = (score > 0) & (score >= cell_max_up)
     rank = score + jnp.where(is_winner, 1e4, 0.0)
 
-    flat_rank = rank.reshape(-1)
-    top_rank, top_idx = jax.lax.top_k(flat_rank, quota)
+    top_rank, top_idx = jax.lax.approx_max_k(rank.reshape(-1), quota)
     ys = (top_idx // w).astype(jnp.int32)
     xs = (top_idx % w).astype(jnp.int32)
     valid = top_rank > 0.0
     response = jnp.take(score.reshape(-1), top_idx)
 
-    # sub-pixel corner refinement: quadratic fit on the FAST score surface.
-    # Integer corners carry +/-0.5 px quantization that is *correlated*
-    # across the corners of one structure (shared sub-pixel phase), which
-    # biases pose estimates; the parabola fit removes it.  (Improvement
-    # over the reference, which keeps integer FAST corners.)
-    def parab(sm, sc, sp):
-        denom = sm + sp - 2.0 * sc
-        d = jnp.where(jnp.abs(denom) > 1e-6, 0.5 * (sm - sp) / denom, 0.0)
-        return jnp.clip(d, -0.5, 0.5)
-
-    # NMS zeroes neighbours on the sparse score map; fit on the dense
-    # pre-NMS corner score instead
+    # sub-pixel refinement on the dense pre-NMS score surface (improvement
+    # over the reference's integer corners: removes correlated quantization)
     dense = jnp.where(corner, score_ini, 0.0)
 
     def sample_d(dy, dx):
         return dense[jnp.clip(ys + dy, 0, h - 1), jnp.clip(xs + dx, 0, w - 1)]
 
+    def parab(sm, sc, sp):
+        denom = sm + sp - 2.0 * sc
+        d = jnp.where(jnp.abs(denom) > 1e-6, 0.5 * (sm - sp) / denom, 0.0)
+        return jnp.clip(d, -0.5, 0.5)
+
     sub_x = parab(sample_d(0, -1), sample_d(0, 0), sample_d(0, 1))
     sub_y = parab(sample_d(-1, 0), sample_d(0, 0), sample_d(1, 0))
-
-    # --- gather 39x39 patches around each keypoint ------------------------
-    def gather_patch(src, y, x):
-        return jax.lax.dynamic_slice(
-            src, (y - EDGE_MARGIN, x - EDGE_MARGIN), (PATCH, PATCH)
-        )
-
-    patches_raw = jax.vmap(lambda y, x: gather_patch(img, y, x))(ys, xs)
-    patches_blur = jax.vmap(lambda y, x: gather_patch(img_blur, y, x))(ys, xs)
-
-    # --- orientation: intensity centroid over circular radius-15 patch ----
-    wx, wy = _circular_mask_weights()
-    c0 = EDGE_MARGIN - HALF_PATCH
-    inner = patches_raw[:, c0 : c0 + 31, c0 : c0 + 31]
-    m10 = jnp.sum(inner * wx[None], axis=(1, 2))
-    m01 = jnp.sum(inner * wy[None], axis=(1, 2))
-    angle = jnp.degrees(jnp.arctan2(m01, m10))
-    angle = jnp.where(angle < 0, angle + 360.0, angle)
-
-    # --- rotated rBRIEF ----------------------------------------------------
-    pat = jnp.asarray(BRIEF_PATTERN, dtype=jnp.float32)  # (256, 4)
-    rad = jnp.radians(angle)
-    ca, sa = jnp.cos(rad), jnp.sin(rad)  # (q,)
-    # rotated integer sample offsets, per keypoint per pair (q, 256)
-    x1 = jnp.round(pat[None, :, 0] * ca[:, None] - pat[None, :, 1] * sa[:, None])
-    y1 = jnp.round(pat[None, :, 0] * sa[:, None] + pat[None, :, 1] * ca[:, None])
-    x2 = jnp.round(pat[None, :, 2] * ca[:, None] - pat[None, :, 3] * sa[:, None])
-    y2 = jnp.round(pat[None, :, 2] * sa[:, None] + pat[None, :, 3] * ca[:, None])
-    flat = patches_blur.reshape(patches_blur.shape[0], PATCH * PATCH)
-    idx1 = ((y1 + EDGE_MARGIN) * PATCH + (x1 + EDGE_MARGIN)).astype(jnp.int32)
-    idx2 = ((y2 + EDGE_MARGIN) * PATCH + (x2 + EDGE_MARGIN)).astype(jnp.int32)
-    t1 = jnp.take_along_axis(flat, idx1, axis=1)
-    t2 = jnp.take_along_axis(flat, idx2, axis=1)
-    bits = (t1 < t2).astype(jnp.uint8)  # (q, 256)
-    desc = pack_bits(bits)
-
-    xy = jnp.stack(
-        [xs.astype(jnp.float32) + sub_x, ys.astype(jnp.float32) + sub_y], axis=-1
-    )
-    return xy, response, angle, desc, valid
+    return ys, xs, sub_y, sub_x, response, valid
 
 
 def extract_orb(
@@ -197,31 +201,71 @@ def extract_orb(
     Returns a padded OrbFeatures bank with sum(level quotas) slots (or
     ``pad_to`` if given).  Coordinates are level-0 raw pixels.
     """
+    from .stereo import stack_pyramid
+
     img = img.astype(jnp.float32)
     quotas = level_quotas(n_features, n_levels, scale_factor)
     pyr = image_ops.build_pyramid(img, n_levels, scale_factor)
     scales = image_ops.scale_factors(n_levels, scale_factor)
+    blur = [image_ops.gaussian_blur(p, 7, 2.0) for p in pyr]
+    stack_blur, offsets = stack_pyramid(blur)
+    W0 = stack_blur.shape[1]
+    flat_blur = stack_blur.reshape(-1)
 
-    xs, rs, angs, descs, octs, vals = [], [], [], [], [], []
+    xs_l, ys_l, xy0, rs, angs, octs, vals = [], [], [], [], [], [], []
     for lv in range(n_levels):
-        blur = image_ops.gaussian_blur(pyr[lv], 7, 2.0)
-        xy, resp, ang, desc, valid = _extract_level(
-            pyr[lv], blur, quotas[lv], ini_th, min_th
+        ys, xs, sub_y, sub_x, resp, valid = _detect_level(
+            pyr[lv], quotas[lv], ini_th, min_th
         )
-        xs.append(xy * scales[lv])
+        m10_map, m01_map = _moment_maps(pyr[lv])
+        m10 = m10_map[ys, xs]
+        m01 = m01_map[ys, xs]
+        ang = jnp.degrees(jnp.arctan2(m01, m10))
+        ang = jnp.where(ang < 0, ang + 360.0, ang)
+
+        xs_l.append(xs)  # integer level coords for descriptor sampling
+        ys_l.append(ys + jnp.int32(int(offsets[lv])))
+        xy = jnp.stack(
+            [xs.astype(jnp.float32) + sub_x, ys.astype(jnp.float32) + sub_y],
+            axis=-1,
+        )
+        xy0.append(xy * scales[lv])
         rs.append(resp)
         angs.append(ang)
-        descs.append(desc)
         octs.append(jnp.full((quotas[lv],), lv, dtype=jnp.int32))
         vals.append(valid)
 
+    xs_all = jnp.concatenate(xs_l)          # level x (int)
+    ys_all = jnp.concatenate(ys_l)          # stacked-row y (int)
+    angle = jnp.concatenate(angs)
+    valid = jnp.concatenate(vals)
+
+    # --- rotated rBRIEF via one flat gather -------------------------------
+    pat = jnp.asarray(BRIEF_PATTERN, dtype=jnp.float32)  # (256, 4)
+    rad = jnp.radians(angle)
+    ca, sa = jnp.cos(rad), jnp.sin(rad)
+    x1 = jnp.round(pat[None, :, 0] * ca[:, None] - pat[None, :, 1] * sa[:, None])
+    y1 = jnp.round(pat[None, :, 0] * sa[:, None] + pat[None, :, 1] * ca[:, None])
+    x2 = jnp.round(pat[None, :, 2] * ca[:, None] - pat[None, :, 3] * sa[:, None])
+    y2 = jnp.round(pat[None, :, 2] * sa[:, None] + pat[None, :, 3] * ca[:, None])
+    gx1 = (xs_all[:, None] + x1.astype(jnp.int32))
+    gy1 = (ys_all[:, None] + y1.astype(jnp.int32))
+    gx2 = (xs_all[:, None] + x2.astype(jnp.int32))
+    gy2 = (ys_all[:, None] + y2.astype(jnp.int32))
+    idx1 = gy1 * W0 + gx1
+    idx2 = gy2 * W0 + gx2
+    t1 = jnp.take(flat_blur, idx1.reshape(-1)).reshape(idx1.shape)
+    t2 = jnp.take(flat_blur, idx2.reshape(-1)).reshape(idx2.shape)
+    bits = (t1 < t2).astype(jnp.uint8)
+    desc = pack_bits(bits)
+
     feats = OrbFeatures(
-        xy=jnp.concatenate(xs),
+        xy=jnp.concatenate(xy0),
         response=jnp.concatenate(rs),
         octave=jnp.concatenate(octs),
-        angle=jnp.concatenate(angs),
-        desc=jnp.concatenate(descs),
-        valid=jnp.concatenate(vals),
+        angle=angle,
+        desc=desc,
+        valid=valid,
     )
     if pad_to is not None and pad_to > feats.n_slots:
         extra = pad_to - feats.n_slots

@@ -264,3 +264,74 @@ class TestPointStats:
         assert abs(np.linalg.norm(nrm) - 1.0) < 1e-5
         assert nrm[2] > 0.9  # looking along +z
         assert float(s2.pt_max_dist[0]) > float(s2.pt_min_dist[0]) > 0
+
+
+class TestCheckpoint:
+    def test_save_load_roundtrip(self, tmp_path):
+        """Map checkpoint restores every bank bit-exactly."""
+        from refactored_orb_slam2_tpu.io.checkpoint import load_map, save_map
+        from refactored_orb_slam2_tpu.utils.config import (
+            CameraConfig, MapConfig, ORBConfig, SystemConfig,
+        )
+        from refactored_orb_slam2_tpu.system import SlamSystem
+
+        cfg = SystemConfig(
+            sensor="rgbd",
+            camera=CameraConfig(fx=400.0, fy=400.0, cx=160.0, cy=120.0,
+                                bf=80.0, width=320, height=240),
+            orb=ORBConfig(n_features=200, n_levels=2),
+            map=MapConfig(max_keyframes=8, max_points=256, max_obs_per_point=4),
+        )
+        sys1 = SlamSystem(cfg)
+        # hand-populate a tiny map (no tracking needed for serialization)
+        sys1.map = sys1.map._replace(
+            kf_valid=sys1.map.kf_valid.at[0].set(True),
+            pt_valid=sys1.map.pt_valid.at[:5].set(True),
+            pt_pos=sys1.map.pt_pos.at[:5].set(
+                jnp.asarray(np.random.default_rng(0).normal(size=(5, 3)),
+                            dtype=jnp.float32)
+            ),
+        )
+        sys1.n_kf = 1
+        sys1.n_pt = 5
+        sys1.culled_chain = {3: (np.eye(4, dtype=np.float32), 1)}
+        p = str(tmp_path / "map.npz")
+        save_map(p, sys1)
+
+        sys2 = SlamSystem(cfg)
+        load_map(p, sys2)
+        assert sys2.n_kf == 1 and sys2.n_pt == 5
+        np.testing.assert_array_equal(
+            np.asarray(sys2.map.pt_pos), np.asarray(sys1.map.pt_pos)
+        )
+        assert 3 in sys2.culled_chain
+        assert sys2.culled_chain[3][1] == 1
+
+    def test_capacity_mismatch_rejected(self, tmp_path):
+        from refactored_orb_slam2_tpu.io.checkpoint import load_map, save_map
+        from refactored_orb_slam2_tpu.utils.config import (
+            CameraConfig, MapConfig, ORBConfig, SystemConfig,
+        )
+        from refactored_orb_slam2_tpu.system import SlamSystem
+
+        base = dict(
+            sensor="rgbd",
+            camera=CameraConfig(fx=400.0, fy=400.0, cx=160.0, cy=120.0,
+                                bf=80.0, width=320, height=240),
+            orb=ORBConfig(n_features=200, n_levels=2),
+        )
+        cfg1 = SystemConfig(
+            map=MapConfig(max_keyframes=8, max_points=256, max_obs_per_point=4),
+            **base,
+        )
+        cfg2 = SystemConfig(
+            map=MapConfig(max_keyframes=16, max_points=256, max_obs_per_point=4),
+            **base,
+        )
+        s1 = SlamSystem(cfg1)
+        p = str(tmp_path / "map.npz")
+        save_map(p, s1)
+        s2 = SlamSystem(cfg2)
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="capacity mismatch"):
+            load_map(p, s2)
