@@ -178,32 +178,52 @@ def match_local_points(
     scale_factors: np.ndarray,
     nn_ratio: float = 0.8,
     nn_max_dist: int = 100,     # TH_HIGH gate (ORBmatcher.cc:109)
+    use_pallas: bool = False,
 ) -> ProjMatchResult:
     """Match the selected local points against unmatched frame features.
 
     Radius: (2.5 if viewCos > 0.998 else 4.0) * th_factor * scale^predLevel
     (ORBmatcher.cc:85,130-135); octave band [pred-1, pred]; ratio 0.8 between
     best and second best (ORBmatcher.cc:105-124).
+
+    use_pallas routes the distance+mask+top-2 through the fused streaming
+    TPU kernel (ops.pallas_hamming) — ~2x over the XLA path at these sizes.
     """
     sf = jnp.asarray(scale_factors)
     base_r = jnp.where(local.view_cos > 0.998, 2.5, 4.0)
     radius = base_r * th * jnp.take(
         sf, jnp.clip(local.pred_level, 0, len(scale_factors) - 1)
     )
-    geo = M.window_mask(local.uv, frame.xy, radius)
-    geo = geo & M.octave_band_mask(local.pred_level, frame.octave, -1, 0)
-
-    desc_rows = pt_desc[jnp.clip(local.idx, 0)]
-    dist = hamming(desc_rows, frame.desc)
     col_free = frame.valid & (existing_pt < 0)
-    res = M.nn_match(
-        dist,
-        row_valid=local.valid,
-        col_valid=col_free,
-        extra_mask=geo,
-        max_dist=nn_max_dist,
-        ratio=nn_ratio,
-    )
+
+    if use_pallas:
+        from .pallas_glue import window_best2_padded
+
+        d1, i1, d2 = window_best2_padded(
+            pt_desc[jnp.clip(local.idx, 0)], frame.desc,
+            local.uv, frame.xy, radius, local.pred_level, frame.octave,
+            local.valid, col_free, (-1, 0),
+        )
+        ok = local.valid & (d1 <= nn_max_dist)
+        ok = ok & (d1.astype(jnp.float32) < nn_ratio * d2.astype(jnp.float32))
+        res = M.MatchResult(
+            idx=jnp.where(ok, i1, -1),
+            dist=jnp.where(ok, d1, M.BIG),
+            mask=ok,
+        )
+    else:
+        geo = M.window_mask(local.uv, frame.xy, radius)
+        geo = geo & M.octave_band_mask(local.pred_level, frame.octave, -1, 0)
+        desc_rows = pt_desc[jnp.clip(local.idx, 0)]
+        dist = hamming(desc_rows, frame.desc)
+        res = M.nn_match(
+            dist,
+            row_valid=local.valid,
+            col_valid=col_free,
+            extra_mask=geo,
+            max_dist=nn_max_dist,
+            ratio=nn_ratio,
+        )
     res = M.resolve_duplicates(res, frame.n_slots)
     col = jnp.where(res.mask, res.idx, frame.n_slots)
     pt_of_feat = existing_pt.at[col].set(

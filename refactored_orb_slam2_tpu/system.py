@@ -136,9 +136,12 @@ class SlamSystem:
             TK.select_local_points,
             static_argnames=("budget", "scale_factor", "n_levels"),
         )
+        from .ops.pallas_hamming import on_tpu
+
+        self.use_pallas = on_tpu()
         self._jit_match_local = jax.jit(
             TK.match_local_points,
-            static_argnames=("th", "nn_ratio", "nn_max_dist"),
+            static_argnames=("th", "nn_ratio", "nn_max_dist", "use_pallas"),
         )
         self._jit_insert_kf = jax.jit(map_ops.insert_keyframe)
         self._jit_create_points = jax.jit(
@@ -345,6 +348,7 @@ class SlamSystem:
         res = self._jit_match_local(
             frame, local, self.map.pt_desc, pt_idx,
             th=1.0, scale_factors=self.scale_factors,
+            use_pallas=self.use_pallas,
         )
         pose, pt_idx, n_inl = self._pose_opt_against_map(frame, pose, res.pt_idx)
         # visibility/found statistics feed MapPointCulling

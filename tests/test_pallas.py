@@ -1,0 +1,48 @@
+"""Pallas kernel tests — run on TPU only (tests default to the CPU platform,
+where the kernels fall back to the XLA path)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from refactored_orb_slam2_tpu.ops.pallas_hamming import on_tpu
+
+pytestmark = pytest.mark.skipif(
+    not on_tpu(), reason="Pallas TPU kernels need a TPU device"
+)
+
+
+def test_window_match_matches_xla():
+    from refactored_orb_slam2_tpu.ops.pallas_hamming import window_match_pallas
+    from refactored_orb_slam2_tpu.ops.descriptors import unpack_pm1, hamming
+    from refactored_orb_slam2_tpu.ops import matching as M
+
+    rng = np.random.default_rng(0)
+    N1, N2 = 256, 384
+    a = rng.integers(0, 2**32, (N1, 8), dtype=np.uint32)
+    b = rng.integers(0, 2**32, (N2, 8), dtype=np.uint32)
+    uvq = rng.uniform(0, 640, (N1, 2)).astype(np.float32)
+    uvt = rng.uniform(0, 640, (N2, 2)).astype(np.float32)
+    rad = rng.uniform(30, 120, N1).astype(np.float32)
+    oq = rng.integers(0, 8, N1).astype(np.int32)
+    ot = rng.integers(0, 8, N2).astype(np.int32)
+    vq = rng.random(N1) < 0.9
+    vt = rng.random(N2) < 0.9
+    d1, i1, d2 = window_match_pallas(
+        unpack_pm1(jnp.asarray(a), dtype=jnp.bfloat16),
+        unpack_pm1(jnp.asarray(b), dtype=jnp.bfloat16),
+        jnp.asarray(uvq), jnp.asarray(uvt), jnp.asarray(rad),
+        jnp.asarray(oq), jnp.asarray(ot), jnp.asarray(vq), jnp.asarray(vt),
+        (-1, 1),
+    )
+    D = hamming(jnp.asarray(a), jnp.asarray(b))
+    geo = M.window_mask(jnp.asarray(uvq), jnp.asarray(uvt), jnp.asarray(rad))
+    geo = geo & M.octave_band_mask(jnp.asarray(oq), jnp.asarray(ot), -1, 1)
+    mask = geo & jnp.asarray(vq)[:, None] & jnp.asarray(vt)[None, :]
+    rd1, ri1, rd2 = M.masked_best2(D, mask)
+    big = 1 << 19
+    assert bool(jnp.all(jnp.where(rd1 < big, d1 == rd1, d1 >= big)))
+    tie = jnp.take_along_axis(D, i1[:, None], axis=1)[:, 0] == rd1
+    assert bool(jnp.all(jnp.where(rd1 < big, (i1 == ri1) | tie, True)))
+    assert bool(jnp.all(jnp.where(rd2 < big, d2 == rd2, d2 >= big)))
