@@ -59,8 +59,9 @@ class SlamSystem:
     initializer).  Feed frames with track_stereo/track_rgbd; read
     trajectory with export_trajectory_tum/kitti."""
 
-    def __init__(self, config: SystemConfig):
+    def __init__(self, config: SystemConfig, async_mapping: bool = False):
         self.cfg = config
+        self.async_mapping = async_mapping
         self.cam: Camera = camera_from_config(config.camera)
         self.sensor = config.sensor
 
@@ -108,6 +109,11 @@ class SlamSystem:
         self.culled_chain: dict[int, tuple[np.ndarray, int]] = {}
 
         self._build_jits()
+        self.mapper = None
+        if async_mapping:
+            from .backend.async_mapper import AsyncMapper
+
+            self.mapper = AsyncMapper(self)
 
     # ------------------------------------------------------------------ jits
     def _build_jits(self):
@@ -218,6 +224,12 @@ class SlamSystem:
 
     def _track(self, frame: FrameData, timestamp: float) -> Optional[np.ndarray]:
         self.frame_id += 1
+        jump = getattr(self, "_pending_pose_jump", None)
+        if jump is not None:
+            # a loop correction landed on the mapper thread: re-anchor
+            self.last_pose = self.map.kf_pose[jump]
+            self.velocity = None
+            self._pending_pose_jump = None
         if self.state == TrackState.NOT_INITIALIZED:
             if self.sensor == "monocular":
                 ok = self._initialize_mono(frame)
@@ -361,7 +373,15 @@ class SlamSystem:
         Tracking.cc:454-503): need >=500 features, create points for all
         features with depth."""
         n_valid = int(jnp.sum(frame.valid))
-        if n_valid < 500 or self.sensor == "monocular":
+        # reference demands >500 features at a 1000+ budget
+        # (Tracking.cc:457); scale with the configured budget
+        need = min(500, int(0.6 * self.n_feat_slots))
+        if n_valid < need or self.sensor == "monocular":
+            return False
+        # pre-check the depth yield BEFORE touching the map: a failed
+        # attempt must not leak keyframe slots or landmarks
+        n_depth = int(jnp.sum(frame.depth > 0))
+        if n_depth < 100:
             return False
         pose = jnp.eye(4, dtype=jnp.float32)
         kf_slot = self._insert_keyframe_arrays(
@@ -385,7 +405,7 @@ class SlamSystem:
         self.last_pt_idx = self.map.kf_point_idx[kf_slot]
         self.ref_kf = kf_slot
         self.last_kf_frame_id = self.frame_id
-        return int(n_new) >= 100
+        return True
 
     def _initialize_mono(self, frame) -> bool:
         """Monocular two-view bootstrap (Tracking::MonocularInitialization +
@@ -518,6 +538,10 @@ class SlamSystem:
         """Adapted NeedNewKeyFrame (Tracking.cc:880-962)."""
         if self.n_kf >= self.cfg.map.max_keyframes - 2:
             return False
+        # reference gates insertion on local mapping being idle
+        # (Tracking.cc:902 bLocalMappingIdle)
+        if self.mapper is not None and not self.mapper.idle:
+            return False
         frames_since = self.frame_id - self.last_kf_frame_id
         # reference-match count = points in ref KF (proxy: current inliers vs
         # ref KF's point count)
@@ -577,6 +601,19 @@ class SlamSystem:
                 pt_base=jnp.int32(self.n_pt), max_new=128,
             )
             self.n_pt += int(n_new)
+        self.ref_kf = kf_slot
+        self.last_kf_frame_id = self.frame_id
+        self.last_pt_idx = self.map.kf_point_idx[kf_slot]
+        if self.mapper is not None:
+            self.mapper.submit(kf_slot)
+        else:
+            self._mapping_pipeline(kf_slot)
+
+    def _mapping_pipeline(self, kf_slot: int):
+        """Keyframe-rate mapping work (the LocalMapping::Run body +
+        LoopClosing::Run, LocalMapping.cc:44-104): triangulate, fuse, cull,
+        refresh statistics, local BA, keyframe culling, loop closing.
+        Runs synchronously or on the AsyncMapper thread."""
         # triangulate new landmarks with covisible neighbours
         # (CreateNewMapPoints; mono's only source of new points)
         self._triangulate_new_points(kf_slot)
@@ -591,9 +628,6 @@ class SlamSystem:
             self.map, scale_factor=self.cfg.orb.scale_factor,
             n_levels=self.cfg.orb.n_levels,
         )
-        self.ref_kf = kf_slot
-        self.last_kf_frame_id = self.frame_id
-        self.last_pt_idx = self.map.kf_point_idx[kf_slot]
         self._local_ba(kf_slot)
         self._cull_keyframes(kf_slot)
         if self.loop_closing_enabled:
@@ -645,7 +679,10 @@ class SlamSystem:
             self.map, result.kf_poses, result.points, result.obs_valid, prob
         )
         # keep the tracker's pose consistent with the adjusted keyframe
-        self.last_pose = self.map.kf_pose[kf_slot]
+        # (only safe when mapping runs on the tracking thread; the async
+        # mapper must not move the live pose out from under the tracker)
+        if self.mapper is None:
+            self.last_pose = self.map.kf_pose[kf_slot]
 
     def _cull_keyframes(self, kf_slot: int):
         """KeyFrameCulling: drop covisible keyframes with >= 90% redundant
@@ -856,8 +893,12 @@ class SlamSystem:
             kf_loop_edges=self.map.kf_loop_edges.at[kf_cur, 0].set(kf_loop),
         )
         self.loop_state.last_loop_kf = kf_cur
-        self.last_pose = self.map.kf_pose[kf_cur]
-        self.velocity = None
+        if self.mapper is None:
+            self.last_pose = self.map.kf_pose[kf_cur]
+            self.velocity = None
+        else:
+            # tracker applies the corrected pose at its next frame boundary
+            self._pending_pose_jump = kf_cur
 
         # fuse loop-side landmarks into the corrected neighbourhood, then
         # global BA (10 iters, RunGlobalBundleAdjustment semantics)
@@ -877,7 +918,8 @@ class SlamSystem:
             self.map, scale_factor=self.cfg.orb.scale_factor,
             n_levels=self.cfg.orb.n_levels,
         )
-        self.last_pose = self.map.kf_pose[kf_cur]
+        if self.mapper is None:
+            self.last_pose = self.map.kf_pose[kf_cur]
 
     # ----------------------------------------------------------- trajectory
     def _log_frame(self, timestamp, lost: bool):
@@ -897,6 +939,13 @@ class SlamSystem:
             kf = parent
             seen += 1
         return chain @ kf_poses[kf]
+
+    def shutdown(self):
+        """Drain the mapping thread (System::Shutdown, System.cc:336-353)."""
+        if self.mapper is not None:
+            self.mapper.wait_idle(timeout=300)
+            self.mapper.shutdown()
+            self.mapper = None
 
     def frame_poses(self) -> np.ndarray:
         """(n, 4, 4) Tcw per tracked frame, recomposed through current KF
