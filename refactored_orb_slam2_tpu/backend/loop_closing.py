@@ -146,18 +146,29 @@ def compute_sim3(
     )
     if not bool(result.success):
         return False, None, None, 1.0, None
-    # refit on inliers (masked Horn): weighted by duplicating inlier rows is
-    # overkill — take the top inlier subset
+    # Horn refit on the RANSAC inliers, then the reference's joint
+    # bidirectional refinement (OptimizeSim3) over all matches
     inl = np.asarray(result.inliers)
     idx = np.where(inl)[0]
     R_r, t_r, s_r = horn_sim3(
         jnp.asarray(np.asarray(p_c)[idx]), jnp.asarray(np.asarray(p_m)[idx]),
         fix_scale=fix_scale,
     )
+    R_o, t_o, s_o, inlier_o = optimize_sim3(
+        p_c, p_m, xn_c, xn_m, result.inliers,
+        R_r, t_r, jnp.asarray(s_r, jnp.float32),
+        fix_scale=fix_scale,
+        inv_sigma2=float(cam.fx) ** 2,
+        chi2_th=10.0,
+    )
+    n_final = int(jnp.sum(inlier_o))
+    if n_final < min_inliers:
+        return False, None, None, 1.0, None
+    idx = np.where(np.asarray(inlier_o))[0]
     pairs = np.stack(
         [np.asarray(ptc_idx)[idx], np.asarray(ptm_idx)[idx]], axis=1
     )
-    return True, np.asarray(R_r), np.asarray(t_r), float(s_r), pairs
+    return True, np.asarray(R_o), np.asarray(t_o), float(s_o), pairs
 
 
 def build_essential_graph_edges(
@@ -198,3 +209,88 @@ def build_essential_graph_edges(
     return PG.make_edges_from_poses(
         i, j, poses_R, poses_t, poses_s, jnp.ones(len(ii), bool)
     )
+
+
+def optimize_sim3(
+    p_c: jax.Array,        # (N, 3) camera-frame positions of matches in KF-c
+    p_m: jax.Array,        # (N, 3) positions in KF-m
+    xn_c: jax.Array,       # (N, 2) normalized observations in KF-c
+    xn_m: jax.Array,       # (N, 2) observations in KF-m
+    valid: jax.Array,      # (N,)
+    R0: jax.Array, t0: jax.Array, s0: jax.Array,
+    *,
+    fix_scale: bool,
+    inv_sigma2: jax.Array | float = 1.0,
+    chi2_th: float = 9.815,   # th2 in OptimizeSim3 (Optimizer.cc:1476)
+    iters: int = 10,
+):
+    """Joint Sim3 refinement with bidirectional projection residuals
+    (Optimizer::OptimizeSim3, Optimizer.cc:1381-1573): minimize reprojection
+    of S_cm·p_m into KF-c's image and S_cm^-1·p_c into KF-m's image over the
+    7-DoF (or 6-DoF) relative transform, Huber-robustified, with a
+    mid-schedule chi2 outlier drop like the reference's two-phase run.
+
+    Returns (R, t, s, inlier_mask).
+    """
+    from ..geometry import sim3 as s3
+
+    zero7 = jnp.zeros(7, dtype=t0.dtype)
+
+    def residuals(zeta, R, t, s):
+        Rd, td, sd = s3.exp(zeta)
+        Rc, tc, sc = s3.compose(Rd, td, sd, R, t, s)
+        p_in_c = s3.apply(Rc, tc, sc, p_m)
+        zc = jnp.maximum(p_in_c[:, 2], 1e-6)
+        rc = p_in_c[:, :2] / zc[:, None] - xn_c
+        Ri, ti, si = s3.inverse(Rc, tc, sc)
+        p_in_m = s3.apply(Ri, ti, si, p_c)
+        zm = jnp.maximum(p_in_m[:, 2], 1e-6)
+        rm = p_in_m[:, :2] / zm[:, None] - xn_m
+        pos = (p_in_c[:, 2] > 1e-6) & (p_in_m[:, 2] > 1e-6)
+        return jnp.concatenate([rc, rm], axis=1), pos   # (N, 4)
+
+    def chi2_of(r):
+        return (jnp.sum(r[:, :2] ** 2, axis=1) + jnp.sum(r[:, 2:] ** 2, axis=1)) * inv_sigma2
+
+    def lm(R, t, s, active, n_iters):
+        def body(_, carry):
+            R, t, s, lam = carry
+            r0, pos = residuals(zero7, R, t, s)
+            J = jax.jacfwd(lambda z: residuals(z, R, t, s)[0])(zero7)  # (N,4,7)
+            w = jnp.where(active & pos, inv_sigma2, 0.0)
+            chi2 = chi2_of(r0)
+            hw = jnp.where(chi2 <= 10.0, 1.0, jnp.sqrt(10.0 / jnp.maximum(chi2, 1e-9)))
+            w = w * hw
+            H = jnp.einsum("nri,n,nrj->ij", J, w, J)
+            g = jnp.einsum("nri,n,nr->i", J, w, r0)
+            if fix_scale:
+                sel = jnp.zeros((7, 7)).at[6, 6].set(1.0)
+                keep = jnp.eye(7) - sel
+                H = keep @ H @ keep + sel
+                g = keep @ g
+            Hd = H + lam * jnp.diag(jnp.diag(H)) + 1e-9 * jnp.eye(7)
+            dz = -jnp.linalg.solve(Hd, g)
+            if fix_scale:
+                dz = dz.at[6].set(0.0)
+            Rd, td, sd = s3.exp(dz)
+            Rn, tn, sn = s3.compose(Rd, td, sd, R, t, s)
+            r_new, pos_new = residuals(zero7, Rn, tn, sn)
+            err_old = jnp.sum(jnp.where(active & pos, chi2, 0.0))
+            err_new = jnp.sum(jnp.where(active & pos_new, chi2_of(r_new), 0.0))
+            acc = err_new < err_old
+            R = jnp.where(acc, Rn, R)
+            t = jnp.where(acc, tn, t)
+            s = jnp.where(acc, sn, s)
+            lam = jnp.clip(jnp.where(acc, lam * 0.5, lam * 4.0), 1e-10, 1e6)
+            return R, t, s, lam
+
+        R, t, s, _ = jax.lax.fori_loop(0, n_iters, body, (R, t, s, jnp.float32(1e-4)))
+        return R, t, s
+
+    R, t, s = lm(R0, t0, s0, valid, iters // 2)
+    r, pos = residuals(zero7, R, t, s)
+    inlier = valid & pos & (chi2_of(r) <= chi2_th)
+    R, t, s = lm(R, t, s, inlier, iters)
+    r, pos = residuals(zero7, R, t, s)
+    inlier = valid & pos & (chi2_of(r) <= chi2_th)
+    return R, t, s, inlier

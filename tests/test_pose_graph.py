@@ -128,3 +128,38 @@ class TestPoseGraph:
         tn = np.asarray(t)[np.asarray(ref)]
         p_cam_new = np.einsum("kij,kj->ki", Rn, np.asarray(p_new)) + tn
         np.testing.assert_allclose(p_cam_new, pts_cam, atol=1e-3)
+
+
+class TestOptimizeSim3:
+    def test_joint_refinement_recovers_sim3(self):
+        from refactored_orb_slam2_tpu.backend.loop_closing import optimize_sim3
+
+        rng = np.random.default_rng(0)
+        n = 120
+        # ground-truth relative Sim3: p_c = s R p_m + t
+        R_gt = np.asarray(se3.so3_exp(jnp.asarray([0.1, -0.3, 0.05], jnp.float32)))
+        t_gt = np.asarray([0.6, -0.2, 0.4], np.float32)
+        s_gt = 1.25
+        p_m = np.stack(
+            [rng.uniform(-2, 2, n), rng.uniform(-1.5, 1.5, n), rng.uniform(3, 9, n)],
+            axis=1,
+        ).astype(np.float32)
+        p_c = s_gt * p_m @ R_gt.T + t_gt
+        # noisy observations (normalized, sigma ~ 0.5px at f=500)
+        xn_c = p_c[:, :2] / p_c[:, 2:3] + rng.normal(0, 1e-3, (n, 2))
+        xn_m = p_m[:, :2] / p_m[:, 2:3] + rng.normal(0, 1e-3, (n, 2))
+        # start from a perturbed estimate
+        R0 = np.asarray(se3.so3_exp(jnp.asarray([0.05, 0.02, -0.03], jnp.float32))) @ R_gt
+        t0 = t_gt + np.asarray([0.1, -0.05, 0.08], np.float32)
+        R, t, s, inl = optimize_sim3(
+            jnp.asarray(p_c), jnp.asarray(p_m),
+            jnp.asarray(xn_c.astype(np.float32)), jnp.asarray(xn_m.astype(np.float32)),
+            jnp.ones(n, bool),
+            jnp.asarray(R0), jnp.asarray(t0), jnp.asarray(1.1, jnp.float32),
+            fix_scale=False, inv_sigma2=500.0**2, chi2_th=10.0,
+        )
+        cos = (np.trace(np.asarray(R).T @ R_gt) - 1) / 2
+        assert np.degrees(np.arccos(np.clip(cos, -1, 1))) < 0.5
+        assert abs(float(s) - s_gt) < 0.01
+        np.testing.assert_allclose(np.asarray(t), t_gt, atol=0.02)
+        assert int(jnp.sum(inl)) > 100
