@@ -975,6 +975,26 @@ class SlamSystem:
                     f"{q[0]:.7f} {q[1]:.7f} {q[2]:.7f} {q[3]:.7f}\n"
                 )
 
+    def export_keyframe_trajectory_tum(self, path: str):
+        """Keyframe-only trajectory (System::SaveKeyFrameTrajectoryTUM,
+        System.cc:417-450)."""
+        kf_poses = np.asarray(self.map.kf_pose)
+        kf_valid = np.asarray(self.map.kf_valid)
+        kf_fid = np.asarray(self.map.kf_frame_id)
+        ts_by_fid = {log.frame_id: log.timestamp for log in self.trajectory}
+        with open(path, "w") as f:
+            for k in range(self.n_kf):
+                if not kf_valid[k]:
+                    continue
+                Twc = np.linalg.inv(kf_poses[k])
+                q = np.asarray(se3.to_quaternion(jnp.asarray(Twc[:3, :3])))
+                t = Twc[:3, 3]
+                ts = ts_by_fid.get(int(kf_fid[k]), 0.0)
+                f.write(
+                    f"{ts:.6f} {t[0]:.7f} {t[1]:.7f} {t[2]:.7f} "
+                    f"{q[0]:.7f} {q[1]:.7f} {q[2]:.7f} {q[3]:.7f}\n"
+                )
+
     def export_trajectory_kitti(self, path: str):
         poses = self.frame_poses()
         with open(path, "w") as f:

@@ -109,3 +109,43 @@ class TestEndToEnd:
         kitti_lines = kitti.read_text().strip().split("\n")
         assert 0 < len(kitti_lines) <= len(traj)
         assert len(kitti_lines[0].split()) == 12
+
+
+@pytest.mark.slow
+class TestFacade:
+    def test_localization_mode_and_reset(self):
+        """Localization-only mode freezes the map; reset clears everything."""
+        cfg = make_cfg("rgbd", n_features=400)
+        world = SyntheticWorld.create(
+            seed=6, n_points=450, z_range=(2.5, 9.0), clear_tube=0.0
+        )
+        traj = lateral_traj(8, step=0.05)
+        sys_ = SlamSystem(cfg)
+        rng = np.random.default_rng(4)
+        for i, Tcw in enumerate(traj[:4]):
+            img = world.render(Tcw, sys_.cam, noise=2.0, rng=rng)
+            depth = world.render_depth(Tcw, sys_.cam)
+            sys_.track_rgbd(img, depth, i * 0.1)
+        n_kf_before = sys_.n_kf
+        n_pt_before = sys_.n_pt
+        sys_.activate_localization_mode()
+        ok = 0
+        for i, Tcw in enumerate(traj[4:]):
+            img = world.render(Tcw, sys_.cam, noise=2.0, rng=rng)
+            depth = world.render_depth(Tcw, sys_.cam)
+            if sys_.track_rgbd(img, depth, (4 + i) * 0.1) is not None:
+                ok += 1
+        assert ok == len(traj) - 4          # still tracks
+        assert sys_.n_kf == n_kf_before     # map frozen
+        assert sys_.n_pt == n_pt_before
+        # keyframe trajectory export works
+        import tempfile, os
+        with tempfile.TemporaryDirectory() as d:
+            p = os.path.join(d, "kf.txt")
+            sys_.export_keyframe_trajectory_tum(p)
+            lines = open(p).read().strip().split("\n")
+            assert len(lines) == n_kf_before
+        sys_.reset()
+        assert sys_.n_kf == 0 and sys_.n_pt == 0
+        assert not bool(np.asarray(sys_.map.kf_valid).any())
+        assert sys_.state == 0  # NOT_INITIALIZED
