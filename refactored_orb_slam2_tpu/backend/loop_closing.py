@@ -294,3 +294,47 @@ def optimize_sim3(
     r, pos = residuals(zero7, R, t, s)
     inlier = valid & pos & (chi2_of(r) <= chi2_th)
     return R, t, s, inlier
+
+
+def count_loop_projection_matches(
+    state,
+    cam,
+    kf_cur: int,
+    group_kf_mask: jax.Array,   # (K,) loop keyframe + its covisible group
+    R_cw, t_cw, s_cw,           # corrected Sim3 pose of the current keyframe
+    *,
+    budget: int = 2048,
+    radius_px: float = 10.0,
+    max_dist: int = 50,
+) -> int:
+    """Final loop acceptance evidence (LoopClosing::ComputeSim3 tail,
+    LoopClosing.cc:330-373): project the loop neighbourhood's landmarks into
+    the current keyframe through the corrected Sim3 and count descriptor
+    matches.  The reference demands >= 40 to accept the loop."""
+    K, N, P, O = state.capacity
+    kfc = jnp.clip(state.pt_obs_kf, 0)
+    in_group = jnp.take(group_kf_mask, kfc) & (state.pt_obs_kf >= 0)
+    loop_pt = state.pt_valid & jnp.any(in_group, axis=1)
+
+    pc = sim3.apply(R_cw, t_cw, s_cw, state.pt_pos)
+    z = pc[:, 2]
+    z_ok = z > 1e-3
+    z_safe = jnp.where(z_ok, z, 1.0)
+    u = cam.fx * pc[:, 0] / z_safe + cam.cx
+    v = cam.fy * pc[:, 1] / z_safe + cam.cy
+    in_img = (u >= 0) & (u < cam.width) & (v >= 0) & (v < cam.height)
+    ok = loop_pt & z_ok & in_img
+    score = jnp.where(ok, -z, -jnp.inf)
+    top_score, top_idx = jax.lax.top_k(score, budget)
+    sel_ok = jnp.isfinite(top_score)
+    uv_sel = jnp.stack([jnp.take(u, top_idx), jnp.take(v, top_idx)], axis=-1)
+
+    feat_valid = state.kf_feat_valid[kf_cur]
+    geo = M.window_mask(uv_sel, state.kf_xy[kf_cur], radius_px)
+    dmat = hamming(state.pt_desc[jnp.clip(top_idx, 0)], state.kf_desc[kf_cur])
+    res = M.nn_match(
+        dmat, row_valid=sel_ok, col_valid=feat_valid,
+        extra_mask=geo, max_dist=max_dist,
+    )
+    res = M.resolve_duplicates(res, N)
+    return int(jnp.sum(res.mask))

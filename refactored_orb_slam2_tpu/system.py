@@ -798,6 +798,24 @@ class SlamSystem:
             )
             if not ok:
                 continue
+            # final acceptance: project the loop neighbourhood's landmarks
+            # through the corrected Sim3 and demand enough total matches
+            # (LoopClosing.cc:330-373, >= 40)
+            old_pose = np.asarray(self.map.kf_pose[cand])
+            S_mw = (jnp.asarray(old_pose[:3, :3]), jnp.asarray(old_pose[:3, 3]),
+                    jnp.asarray(1.0, jnp.float32))
+            S_cw = sim3.compose(
+                jnp.asarray(R_cm), jnp.asarray(t_cm),
+                jnp.asarray(np.float32(s_cm)), *S_mw,
+            )
+            group_mask = jnp.asarray(
+                (covis[cand] >= 15) | (np.arange(covis.shape[0]) == cand)
+            ) & self.map.kf_valid
+            n_total = LC.count_loop_projection_matches(
+                self.map, self.cam, kf_slot, group_mask, *S_cw,
+            ) + len(pairs)
+            if n_total < self.cfg.loop.min_total_matches:
+                continue
             self._correct_loop(kf_slot, cand, R_cm, t_cm, s_cm)
             return True
         return False
