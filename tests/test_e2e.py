@@ -149,3 +149,30 @@ class TestFacade:
         assert sys_.n_kf == 0 and sys_.n_pt == 0
         assert not bool(np.asarray(sys_.map.kf_valid).any())
         assert sys_.state == 0  # NOT_INITIALIZED
+
+
+@pytest.mark.slow
+class TestMonocular:
+    def test_mono_sequence(self):
+        """Monocular bootstrap + tracking + triangulation-based mapping."""
+        cfg = make_cfg("monocular", n_features=600)
+        world = SyntheticWorld.create(
+            seed=7, n_points=500, x_range=(-6, 6), y_range=(-2.5, 2.5),
+            z_range=(2.5, 10.0), clear_tube=0.0,
+        )
+        traj = lateral_traj(14, step=0.06)
+        sys_ = SlamSystem(cfg)
+        rng = np.random.default_rng(5)
+        ok = 0
+        for i, Tcw in enumerate(traj):
+            img = world.render(Tcw, sys_.cam, noise=2.0, rng=rng)
+            if sys_.track_monocular(img, i * 0.1) is not None:
+                ok += 1
+        assert sys_.state == 1, "monocular init never succeeded"
+        assert ok >= 10
+        from refactored_orb_slam2_tpu.utils.synthetic import ate_rmse_sim3
+
+        est = sys_.camera_centers()
+        gt = gt_centers(traj)[len(traj) - len(sys_.trajectory):]
+        ate = ate_rmse_sim3(est, gt)
+        assert ate < 0.05, f"mono ATE {ate}"
