@@ -100,6 +100,34 @@ class KittiStereoSequence:
 
 
 @dataclass
+class KittiMonoSequence:
+    """KITTI odometry, left camera only (reference mono_kitti.cc)."""
+
+    root: str
+
+    def __iter__(self):
+        with open(os.path.join(self.root, "times.txt")) as f:
+            times = [float(x) for x in f.read().split()]
+        for i, t in enumerate(times):
+            yield t, _imread_gray(os.path.join(self.root, "image_0", f"{i:06d}.png"))
+
+
+@dataclass
+class EurocMonoSequence:
+    """EuRoC MAV, cam0 only, unrectified (reference mono_euroc.cc; the
+    monocular settings carry the raw cam0 distortion)."""
+
+    root: str  # .../mav0
+
+    def __iter__(self):
+        cam0 = os.path.join(self.root, "cam0", "data")
+        for name in sorted(os.listdir(cam0)):
+            if not name.endswith(".png"):
+                continue
+            yield float(name[:-4]) * 1e-9, _imread_gray(os.path.join(cam0, name))
+
+
+@dataclass
 class EurocStereoSequence:
     """EuRoC MAV: mav0/cam0,cam1 with rectification from the settings'
     LEFT.*/RIGHT.* matrices (reference stereo_euroc.cc:70-115)."""

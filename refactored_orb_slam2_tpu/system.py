@@ -975,6 +975,8 @@ class SlamSystem:
                 out.append(out[-1] if out else np.eye(4, dtype=np.float32))
                 continue
             out.append(log.Tcr @ self._resolve_kf_pose(log.ref_kf, kf_poses))
+        if not out:
+            return np.zeros((0, 4, 4), dtype=np.float32)
         return np.stack(out)
 
     def camera_centers(self) -> np.ndarray:
