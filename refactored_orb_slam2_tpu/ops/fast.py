@@ -67,17 +67,16 @@ def _run9_minmax(vals: jax.Array) -> jax.Array:
     return jnp.max(a9, axis=0)
 
 
-def fast_score_and_corners(img: jax.Array, threshold: float):
-    """FAST-9-16 over the full image.
+def fast_score(img: jax.Array) -> jax.Array:
+    """Dense FAST-9-16 max-threshold corner score over the full image.
 
-    Returns (score, corner_mask) both (H, W); score is the max-threshold
-    corner score (0 where not a corner at ``threshold``).
+    score(p) = max over the 16 arcs of min-over-arc contrast; a pixel is a
+    FAST corner at threshold t iff score > t, so ONE ring pass serves every
+    threshold (the reference's two-threshold 20->7 fallback needs two
+    cv::FAST calls, ORBextractor.cc:774-780).
     """
     ring = _ring_stack(img)
     c = img[None]
-    brighter = ring > c + threshold
-    darker = ring < c - threshold
-    is_corner = _run9_any(brighter) | _run9_any(darker)
     score_b = _run9_minmax(ring - c)        # supremum t for bright arcs
     score_d = _run9_minmax(c - ring)        # supremum t for dark arcs
     score = jnp.maximum(score_b, score_d)
@@ -85,7 +84,17 @@ def fast_score_and_corners(img: jax.Array, threshold: float):
     yy = jnp.arange(h)[:, None]
     xx = jnp.arange(w)[None, :]
     interior = (yy >= 3) & (yy < h - 3) & (xx >= 3) & (xx < w - 3)
-    is_corner = is_corner & interior
+    return jnp.where(interior, score, 0.0)
+
+
+def fast_score_and_corners(img: jax.Array, threshold: float):
+    """FAST-9-16 over the full image.
+
+    Returns (score, corner_mask) both (H, W); score is the max-threshold
+    corner score (0 where not a corner at ``threshold``).
+    """
+    score = fast_score(img)
+    is_corner = score > threshold
     return jnp.where(is_corner, score, 0.0), is_corner
 
 

@@ -13,8 +13,11 @@ Performance notes (v5e, 640x480, 1000 features, 8 levels):
 - orientation moments m10/m01 are computed for the whole level via integral
   columns + 31-tap weighted shifts (VPU), then gathered at keypoints — no
   per-keypoint patch extraction;
-- descriptors sample 512 rotated points per keypoint with ONE flat gather
-  from a row-stacked blurred pyramid;
+- descriptors: rotation quantized to 32 bins (the original ORB paper uses
+  12 deg bins); all bits for all bins computed as one batched +/-1 MXU
+  matmul over per-keypoint 37x37 slabs — no per-sample gathers;
+- FAST's two-threshold fallback derives both corner masks from ONE dense
+  max-threshold score pass (corner@t == score > t);
 - selection uses jax.lax.approx_max_k (TPU-optimized).
 """
 
@@ -35,6 +38,33 @@ from .orb_pattern import BRIEF_PATTERN
 EDGE_MARGIN = 19       # descriptor sample radius bound (EDGE_THRESHOLD)
 HALF_PATCH = 15        # IC_Angle patch radius (ORBextractor.cc:32)
 CELL = 30              # FAST cell size (ORBextractor.cc:754)
+ANGLE_BINS = 32        # rBRIEF rotation quantization (the original ORB paper
+                       # discretizes to 12 deg; 11.25 deg here)
+PATCH_R = 18           # rotated-pattern sample radius bound (13 * sqrt(2))
+PATCH = 2 * PATCH_R + 1
+
+
+@functools.lru_cache(maxsize=None)
+def _brief_selection_mats() -> np.ndarray:
+    """(ANGLE_BINS, PATCH*PATCH, 256) +/-1 selection matrices.
+
+    For angle bin b, column j has -1 at the rotated sample p1 and +1 at p2,
+    so (patch_vector @ W_b)[j] > 0  <=>  I(p1) < I(p2)  — the rBRIEF bit.
+    Turns per-sample gathers (slow on TPU) into one MXU matmul batch.
+    """
+    pat = np.asarray(BRIEF_PATTERN, dtype=np.float64)   # (256, 4) x1 y1 x2 y2
+    W = np.zeros((ANGLE_BINS, PATCH * PATCH, 256), np.float32)
+    for b in range(ANGLE_BINS):
+        th = 2.0 * np.pi * b / ANGLE_BINS
+        ca, sa = np.cos(th), np.sin(th)
+        x1 = np.round(pat[:, 0] * ca - pat[:, 1] * sa).astype(int)
+        y1 = np.round(pat[:, 0] * sa + pat[:, 1] * ca).astype(int)
+        x2 = np.round(pat[:, 2] * ca - pat[:, 3] * sa).astype(int)
+        y2 = np.round(pat[:, 2] * sa + pat[:, 3] * ca).astype(int)
+        cols = np.arange(256)
+        np.add.at(W[b], ((y1 + PATCH_R) * PATCH + (x1 + PATCH_R), cols), -1.0)
+        np.add.at(W[b], ((y2 + PATCH_R) * PATCH + (x2 + PATCH_R), cols), 1.0)
+    return W
 
 
 class OrbFeatures(NamedTuple):
@@ -138,10 +168,11 @@ def _detect_level(img: jax.Array, quota: int, ini_th: float, min_th: float):
     valid mask — all shaped (quota,).
     """
     h, w = img.shape
-    score_ini, corner_ini = fast_ops.fast_score_and_corners(img, ini_th)
-    _, corner_min = fast_ops.fast_score_and_corners(img, min_th)
+    score_all = fast_ops.fast_score(img)   # one ring pass serves both thresholds
+    corner_ini = score_all > ini_th
+    corner_min = score_all > min_th
     corner = fast_ops.cell_fallback_mask(corner_ini, corner_min, CELL)
-    score = jnp.where(corner, score_ini, 0.0)
+    score = jnp.where(corner, score_all, 0.0)
     nms = fast_ops.nonmax_suppress_3x3(score)
     score = jnp.where(nms & corner, score, 0.0)
 
@@ -171,7 +202,7 @@ def _detect_level(img: jax.Array, quota: int, ini_th: float, min_th: float):
 
     # sub-pixel refinement on the dense pre-NMS score surface (improvement
     # over the reference's integer corners: removes correlated quantization)
-    dense = jnp.where(corner, score_ini, 0.0)
+    dense = jnp.where(corner, score_all, 0.0)
 
     def sample_d(dy, dx):
         return dense[jnp.clip(ys + dy, 0, h - 1), jnp.clip(xs + dx, 0, w - 1)]
@@ -209,8 +240,6 @@ def extract_orb(
     scales = image_ops.scale_factors(n_levels, scale_factor)
     blur = [image_ops.gaussian_blur(p, 7, 2.0) for p in pyr]
     stack_blur, offsets = stack_pyramid(blur)
-    W0 = stack_blur.shape[1]
-    flat_blur = stack_blur.reshape(-1)
 
     xs_l, ys_l, xy0, rs, angs, octs, vals = [], [], [], [], [], [], []
     for lv in range(n_levels):
@@ -240,24 +269,26 @@ def extract_orb(
     angle = jnp.concatenate(angs)
     valid = jnp.concatenate(vals)
 
-    # --- rotated rBRIEF via one flat gather -------------------------------
-    pat = jnp.asarray(BRIEF_PATTERN, dtype=jnp.float32)  # (256, 4)
-    rad = jnp.radians(angle)
-    ca, sa = jnp.cos(rad), jnp.sin(rad)
-    x1 = jnp.round(pat[None, :, 0] * ca[:, None] - pat[None, :, 1] * sa[:, None])
-    y1 = jnp.round(pat[None, :, 0] * sa[:, None] + pat[None, :, 1] * ca[:, None])
-    x2 = jnp.round(pat[None, :, 2] * ca[:, None] - pat[None, :, 3] * sa[:, None])
-    y2 = jnp.round(pat[None, :, 2] * sa[:, None] + pat[None, :, 3] * ca[:, None])
-    gx1 = (xs_all[:, None] + x1.astype(jnp.int32))
-    gy1 = (ys_all[:, None] + y1.astype(jnp.int32))
-    gx2 = (xs_all[:, None] + x2.astype(jnp.int32))
-    gy2 = (ys_all[:, None] + y2.astype(jnp.int32))
-    idx1 = gy1 * W0 + gx1
-    idx2 = gy2 * W0 + gx2
-    t1 = jnp.take(flat_blur, idx1.reshape(-1)).reshape(idx1.shape)
-    t2 = jnp.take(flat_blur, idx2.reshape(-1)).reshape(idx2.shape)
-    bits = (t1 < t2).astype(jnp.uint8)
-    desc = pack_bits(bits)
+    # --- rotated rBRIEF on the MXU ----------------------------------------
+    # Per-keypoint 37x37 slab from the stacked blurred pyramid (keypoints are
+    # >= 19 px from every level border, so slabs never cross levels), then
+    # all 256 bits for every angle bin as one batched +/-1 matmul; the
+    # keypoint's bin is selected by a one-hot contraction.  ~2x faster than
+    # 512 random gathers per keypoint (TPU gathers cost ~8.5 ns/element).
+    n_kp = xs_all.shape[0]
+
+    def slab(y, x):
+        return jax.lax.dynamic_slice(stack_blur, (y - PATCH_R, x - PATCH_R),
+                                     (PATCH, PATCH))
+
+    patches = jax.vmap(slab)(ys_all, xs_all).reshape(n_kp, PATCH * PATCH)
+    Wsel = jnp.asarray(_brief_selection_mats())          # (B, PATCH^2, 256)
+    diff = jnp.einsum("nk,bkj->bnj", patches, Wsel,
+                      preferred_element_type=jnp.float32)
+    bin_id = jnp.round(angle / (360.0 / ANGLE_BINS)).astype(jnp.int32) % ANGLE_BINS
+    onehot = jax.nn.one_hot(bin_id, ANGLE_BINS, axis=0, dtype=diff.dtype)
+    sel = jnp.einsum("bnj,bn->nj", diff, onehot)
+    desc = pack_bits((sel > 0).astype(jnp.uint8))
 
     feats = OrbFeatures(
         xy=jnp.concatenate(xy0),

@@ -39,16 +39,19 @@ class PoseOptResult(NamedTuple):
 
 
 def _build_normal_eqs(cam, Tcw, pw, obs, inv_sigma2, active, is_stereo, use_huber):
-    """Assemble H (6,6), g (6,), total chi2, and per-edge chi2."""
-    r_m, pc = res.mono_residual(cam, Tcw, pw, obs[..., :2])
-    r_s, _ = res.stereo_residual(cam, Tcw, pw, obs)
-    J_pc = res.pc_jacobian_twist(pc)                       # (N,3,6)
-    Jm = -res.proj_jacobian_pc(cam, pc) @ J_pc             # (N,2,6)
-    Js = -res.stereo_jacobian_pc(cam, pc) @ J_pc           # (N,3,6)
+    """Assemble H (6,6), g (6,), total chi2, and per-edge chi2.
 
-    # chi2 with octave information weight
-    chi2_m = jnp.sum(r_m * r_m, axis=-1) * inv_sigma2
-    chi2_s = jnp.sum(r_s * r_s, axis=-1) * inv_sigma2
+    Fused formulation: one 3-row residual/Jacobian per edge (mono edges zero
+    the uR row via row weights and use the 2-DoF chi2), normal equations as
+    a single (6, 3N) x (3N, 6) matmul.  ``use_huber`` may be a traced bool.
+    """
+    n = pw.shape[0]
+    r, pc = res.stereo_residual(cam, Tcw, pw, obs)         # (N,3)
+    J = -res.stereo_jacobian_pc(cam, pc) @ res.pc_jacobian_twist(pc)  # (N,3,6)
+
+    # chi2 with octave information weight; mono uses only the (u, v) rows
+    chi2_m = jnp.sum(r[..., :2] * r[..., :2], axis=-1) * inv_sigma2
+    chi2_s = jnp.sum(r * r, axis=-1) * inv_sigma2
     chi2 = jnp.where(is_stereo, chi2_s, chi2_m)
 
     # behind-camera edges are dropped this round (g2o marks them outliers
@@ -56,63 +59,58 @@ def _build_normal_eqs(cam, Tcw, pw, obs, inv_sigma2, active, is_stereo, use_hube
     pos_depth = pc[..., 2] > 1e-3
     act = active & pos_depth
 
-    if use_huber:
-        w_m = res.huber_weight(chi2_m, res.CHI2_MONO)
-        w_s = res.huber_weight(chi2_s, res.CHI2_STEREO)
-    else:
-        w_m = jnp.ones_like(chi2_m)
-        w_s = jnp.ones_like(chi2_s)
+    th = jnp.where(is_stereo, res.CHI2_STEREO, res.CHI2_MONO)
+    w_huber = jnp.where(use_huber, res.huber_weight(chi2, th), 1.0)
+    w_edge = jnp.where(act, w_huber * inv_sigma2, 0.0)     # (N,)
 
-    wm = jnp.where(act & ~is_stereo, w_m * inv_sigma2, 0.0)
-    ws = jnp.where(act & is_stereo, w_s * inv_sigma2, 0.0)
-
-    H = jnp.einsum("nif,n,nig->fg", Jm, wm, Jm) + jnp.einsum(
-        "nif,n,nig->fg", Js, ws, Js
-    )
-    g = jnp.einsum("nif,n,ni->f", Jm, wm, r_m) + jnp.einsum(
-        "nif,n,ni->f", Js, ws, r_s
-    )
+    # per-row weights: mono edges contribute no uR row
+    w_row = w_edge[:, None] * jnp.concatenate(
+        [jnp.ones((n, 2), r.dtype), is_stereo[:, None].astype(r.dtype)], axis=1
+    )                                                      # (N,3)
+    Jf = J.reshape(3 * n, 6)
+    wJf = (w_row.reshape(3 * n, 1) * Jf)
+    H = Jf.T @ wJf
+    g = wJf.T @ r.reshape(3 * n)
     # robustified total error (what LM accept/reject compares)
-    err = jnp.sum(jnp.where(act & ~is_stereo, w_m * chi2_m, 0.0)) + jnp.sum(
-        jnp.where(act & is_stereo, w_s * chi2_s, 0.0)
-    )
+    err = jnp.sum(jnp.where(act, w_huber * chi2, 0.0))
     return H, g, err, chi2, pos_depth
 
 
 def _lm_rounds(cam, Tcw0, pw, obs, inv_sigma2, valid, is_stereo):
-    inlier = valid
+    """4 rounds x 10 LM iterations with one normal-equation build per
+    iteration: the build at the trial pose doubles as the accept check and,
+    when accepted, as the next iteration's system (halves the edge work vs
+    the textbook two-build loop)."""
 
     def round_body(rnd, carry):
         Tcw, inlier = carry
-        use_huber_round = rnd < 2
+        use_huber = rnd < 2
 
-        def run_lm(use_huber):
-            def iter_body(_, state):
-                Tcw, lam, _ = state
-                H, g, err, _, _ = _build_normal_eqs(
-                    cam, Tcw, pw, obs, inv_sigma2, inlier, is_stereo, use_huber
-                )
-                Hd = H + lam * jnp.diag(jnp.diag(H)) + 1e-9 * jnp.eye(6)
-                # residual convention: r = obs - pred, J = -dpred/dxi
-                # normal eqs: H dx = -g... careful with signs:
-                # minimizing ||r||: dx = -(JtWJ)^-1 JtW r; our g = JtW r
-                dx = -jnp.linalg.solve(Hd, g)
-                T_new = se3.exp(dx) @ Tcw
-                _, _, err_new, _, _ = _build_normal_eqs(
-                    cam, T_new, pw, obs, inv_sigma2, inlier, is_stereo, use_huber
-                )
-                accept = err_new < err
-                Tcw = jnp.where(accept, T_new, Tcw)
-                lam = jnp.where(accept, lam * 0.5, lam * 4.0)
-                lam = jnp.clip(lam, 1e-10, 1e6)
-                return (Tcw, lam, err_new)
-
-            return jax.lax.fori_loop(
-                0, N_ITERS, iter_body, (Tcw, jnp.float32(1e-4), jnp.float32(0.0))
+        def iter_body(_, state):
+            Tcw, lam, H, g, err = state
+            Hd = H + lam * jnp.diag(jnp.diag(H)) + 1e-9 * jnp.eye(6)
+            # residual convention: r = obs - pred, J = -dpred/dxi; our
+            # g = JtW r so the descent step is dx = -H^-1 g
+            dx = -jnp.linalg.solve(Hd, g)
+            T_new = se3.exp(dx) @ Tcw
+            H_new, g_new, err_new, _, _ = _build_normal_eqs(
+                cam, T_new, pw, obs, inv_sigma2, inlier, is_stereo, use_huber
             )
+            accept = err_new < err
+            pick = lambda a, b: jnp.where(accept, a, b)
+            state = (
+                pick(T_new, Tcw), jnp.clip(
+                    jnp.where(accept, lam * 0.5, lam * 4.0), 1e-10, 1e6
+                ),
+                pick(H_new, H), pick(g_new, g), pick(err_new, err),
+            )
+            return state
 
-        Tcw, _, _ = jax.lax.cond(
-            use_huber_round, lambda: run_lm(True), lambda: run_lm(False)
+        H0, g0, err0, _, _ = _build_normal_eqs(
+            cam, Tcw, pw, obs, inv_sigma2, inlier, is_stereo, use_huber
+        )
+        Tcw, _, _, _, _ = jax.lax.fori_loop(
+            0, N_ITERS, iter_body, (Tcw, jnp.float32(1e-4), H0, g0, err0)
         )
         # re-classify at current pose (chi2 thresholds, Optimizer.cc:389-409)
         _, _, _, chi2, pos_depth = _build_normal_eqs(
@@ -122,7 +120,7 @@ def _lm_rounds(cam, Tcw0, pw, obs, inv_sigma2, valid, is_stereo):
         inlier = valid & (chi2 <= th) & pos_depth
         return (Tcw, inlier)
 
-    Tcw, inlier = jax.lax.fori_loop(0, N_ROUNDS, round_body, (Tcw0, inlier))
+    Tcw, inlier = jax.lax.fori_loop(0, N_ROUNDS, round_body, (Tcw0, valid))
     _, _, _, chi2, _ = _build_normal_eqs(
         cam, Tcw, pw, obs, inv_sigma2, valid, is_stereo, False
     )
