@@ -57,9 +57,34 @@ def gaussian_blur(img: jax.Array, ksize: int = 7, sigma: float = 2.0) -> jax.Arr
     return out
 
 
+@functools.lru_cache(maxsize=None)
+def _resize_matrix(n_in: int, n_out: int) -> np.ndarray:
+    """(n_out, n_in) bilinear interpolation matrix with half-pixel centers
+    (the cv::resize INTER_LINEAR sampling grid, edge-clamped)."""
+    A = np.zeros((n_out, n_in), np.float32)
+    scale = n_in / n_out
+    for o in range(n_out):
+        src = (o + 0.5) * scale - 0.5
+        i0 = int(np.floor(src))
+        f = src - i0
+        i0c = min(max(i0, 0), n_in - 1)
+        i1c = min(max(i0 + 1, 0), n_in - 1)
+        A[o, i0c] += 1.0 - f
+        A[o, i1c] += f
+    return A
+
+
 def resize_bilinear(img: jax.Array, out_h: int, out_w: int) -> jax.Array:
-    """Bilinear resize with half-pixel centers (cv::resize INTER_LINEAR)."""
-    return jax.image.resize(img, (out_h, out_w), method="linear", antialias=False)
+    """Bilinear resize with half-pixel centers (cv::resize INTER_LINEAR).
+
+    Expressed as two small matmuls (out = A_h @ img @ A_w^T) so the MXU does
+    the interpolation — several times faster on TPU than the gather-based
+    jax.image.resize lowering.
+    """
+    h, w = img.shape
+    Ah = jnp.asarray(_resize_matrix(h, out_h))
+    Aw = jnp.asarray(_resize_matrix(w, out_w))
+    return Ah @ img @ Aw.T
 
 
 def pyramid_shapes(h: int, w: int, n_levels: int, scale_factor: float):

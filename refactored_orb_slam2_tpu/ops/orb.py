@@ -10,9 +10,10 @@ Performance notes (v5e, 640x480, 1000 features, 8 levels):
 - spatial balancing keeps the best corner of every 30x30 cell (a "cell
   winner" bonus before one approx-top-k) — the array-native equivalent of
   the reference's greedy quad-tree (DistributeOctTree);
-- orientation moments m10/m01 are computed for the whole level via integral
-  columns + 31-tap weighted shifts (VPU), then gathered at keypoints — no
-  per-keypoint patch extraction;
+- orientation moments m10/m01 come from per-keypoint 37x37 slabs as one
+  (N, 1369) @ (1369, 2) matmul (no dense whole-level moment maps);
+- the pyramid is built by small interpolation matmuls on the MXU (see
+  ops/image.resize_bilinear);
 - descriptors: rotation quantized to 32 bins (the original ORB paper uses
   12 deg bins); all bits for all bins computed as one batched +/-1 MXU
   matmul over per-keypoint 37x37 slabs — no per-sample gathers;
@@ -42,6 +43,20 @@ ANGLE_BINS = 32        # rBRIEF rotation quantization (the original ORB paper
                        # discretizes to 12 deg; 11.25 deg here)
 PATCH_R = 18           # rotated-pattern sample radius bound (13 * sqrt(2))
 PATCH = 2 * PATCH_R + 1
+
+
+@functools.lru_cache(maxsize=None)
+def _ic_angle_weights() -> np.ndarray:
+    """(PATCH*PATCH, 2) dx/dy weights of the radius-15 circular IC_Angle
+    patch (ORBextractor.cc:76-100), embedded in the 37x37 slab, so the
+    orientation moments are one (N, PATCH^2) @ (PATCH^2, 2) matmul."""
+    r = HALF_PATCH
+    W = np.zeros((PATCH, PATCH, 2), np.float32)
+    for dy in range(-r, r + 1):
+        u = int(np.floor(np.sqrt(max(r * r - dy * dy, 0)) + 0.5))
+        for dx in range(-u, u + 1):
+            W[dy + PATCH_R, dx + PATCH_R] = (dx, dy)
+    return W.reshape(PATCH * PATCH, 2)
 
 
 @functools.lru_cache(maxsize=None)
@@ -95,70 +110,6 @@ def level_quotas(n_features: int, n_levels: int, scale_factor: float):
         n_per *= factor
     quotas.append(max(n_features - total, 0))
     return quotas
-
-
-@functools.lru_cache(maxsize=None)
-def _ic_angle_row_weights():
-    """Per-row half-width u_max of the circular radius-15 patch, plus the
-    dx weight vector, for the separable moment computation."""
-    r = HALF_PATCH
-    dy = np.arange(-r, r + 1)
-    u_max = np.floor(np.sqrt(np.maximum(r * r - dy * dy, 0)) + 0.5).astype(np.int32)
-    return dy.astype(np.float32), u_max
-
-
-def _moment_maps(img: jax.Array):
-    """(H, W) -> (m10, m01) maps over the circular radius-15 patch.
-
-    Row-decomposed: for each dy in [-15, 15], the circular patch contributes
-    row y+dy over x in [-u_max(dy), u_max(dy)].  Using x-integral images:
-      m10(x,y) = sum_dy [ S1x(x+u, y+dy) - S1x(x-u-1, y+dy) ]
-                 - x * (rowsum)      with S1x = cumsum(x * I) ... simplified
-    Here: rowsum_u(x,y) = sum_{|dx|<=u} I(x+dx, y)  via integral image,
-          rowwsum_u(x,y) = sum dx*I  via weighted integral image.
-    m10 = sum_dy rowwsum_{u(dy)}(x, y+dy)
-    m01 = sum_dy dy * rowsum_{u(dy)}(x, y+dy)
-    All static shifts; O(31) VPU passes per level.
-    """
-    h, w = img.shape
-    dys, u_max = _ic_angle_row_weights()
-    xs = jnp.arange(w, dtype=jnp.float32)
-    # integral images along x, zero-prepended so sum[a..b] = S[b+1]-S[a]
-    S0 = jnp.concatenate([jnp.zeros((h, 1)), jnp.cumsum(img, axis=1)], axis=1)
-    Sx = jnp.concatenate(
-        [jnp.zeros((h, 1)), jnp.cumsum(img * xs[None, :], axis=1)], axis=1
-    )
-
-    def row_sums(u):
-        """(H, W) sums over x-window [-u, u]: plain and x-weighted-centred.
-
-        Static-shift formulation: hi(x) = S[x+u+1] (edge-padded right),
-        lo(x) = S[x-u] (zero-padded left; S[0] = 0)."""
-        hi0 = jnp.pad(S0, ((0, 0), (0, u)), mode="edge")[:, u + 1 : u + 1 + w]
-        lo0 = jnp.pad(S0, ((0, 0), (u, 0)))[:, :w]
-        hix = jnp.pad(Sx, ((0, 0), (0, u)), mode="edge")[:, u + 1 : u + 1 + w]
-        lox = jnp.pad(Sx, ((0, 0), (u, 0)))[:, :w]
-        s0 = hi0 - lo0
-        sx = hix - lox
-        # centre the x weight: sum (x' - x) I = sx - x * s0
-        return s0, sx - xs[None, :] * s0
-
-    m10 = jnp.zeros((h, w), img.dtype)
-    m01 = jnp.zeros((h, w), img.dtype)
-    # group rows by u to reuse row_sums (u takes ~16 distinct values)
-    u_groups = {}
-    for dy, u in zip(dys.astype(int), u_max):
-        u_groups.setdefault(int(u), []).append(int(dy))
-    for u, dy_list in u_groups.items():
-        s0, sxc = row_sums(u)
-        for dy in dy_list:
-            # row y reads source row y+dy (rows near the border wrap, but
-            # detection masks a 19-px border anyway)
-            s0_shift = jnp.roll(s0, -dy, axis=0)
-            sxc_shift = jnp.roll(sxc, -dy, axis=0)
-            m10 = m10 + sxc_shift
-            m01 = m01 + dy * s0_shift
-    return m10, m01
 
 
 def _detect_level(img: jax.Array, quota: int, ini_th: float, min_th: float):
@@ -240,18 +191,13 @@ def extract_orb(
     scales = image_ops.scale_factors(n_levels, scale_factor)
     blur = [image_ops.gaussian_blur(p, 7, 2.0) for p in pyr]
     stack_blur, offsets = stack_pyramid(blur)
+    stack_raw, _ = stack_pyramid(pyr)       # unblurred, for IC_Angle moments
 
-    xs_l, ys_l, xy0, rs, angs, octs, vals = [], [], [], [], [], [], []
+    xs_l, ys_l, xy0, rs, octs, vals = [], [], [], [], [], []
     for lv in range(n_levels):
         ys, xs, sub_y, sub_x, resp, valid = _detect_level(
             pyr[lv], quotas[lv], ini_th, min_th
         )
-        m10_map, m01_map = _moment_maps(pyr[lv])
-        m10 = m10_map[ys, xs]
-        m01 = m01_map[ys, xs]
-        ang = jnp.degrees(jnp.arctan2(m01, m10))
-        ang = jnp.where(ang < 0, ang + 360.0, ang)
-
         xs_l.append(xs)  # integer level coords for descriptor sampling
         ys_l.append(ys + jnp.int32(int(offsets[lv])))
         xy = jnp.stack(
@@ -260,14 +206,26 @@ def extract_orb(
         )
         xy0.append(xy * scales[lv])
         rs.append(resp)
-        angs.append(ang)
         octs.append(jnp.full((quotas[lv],), lv, dtype=jnp.int32))
         vals.append(valid)
 
     xs_all = jnp.concatenate(xs_l)          # level x (int)
     ys_all = jnp.concatenate(ys_l)          # stacked-row y (int)
-    angle = jnp.concatenate(angs)
     valid = jnp.concatenate(vals)
+
+    # --- IC_Angle orientation from per-keypoint raw slabs -----------------
+    # The radius-15 circular moments m10/m01 (ORBextractor.cc:76-100) as ONE
+    # (N, PATCH^2) @ (PATCH^2, 2) matmul over 37x37 unblurred slabs, instead
+    # of dense whole-level moment maps.
+    def slab_raw(y, x):
+        return jax.lax.dynamic_slice(stack_raw, (y - PATCH_R, x - PATCH_R),
+                                     (PATCH, PATCH))
+
+    n_raw = xs_all.shape[0]
+    patches_raw = jax.vmap(slab_raw)(ys_all, xs_all).reshape(n_raw, PATCH * PATCH)
+    moments = patches_raw @ jnp.asarray(_ic_angle_weights())   # (N, 2)
+    angle = jnp.degrees(jnp.arctan2(moments[:, 1], moments[:, 0]))
+    angle = jnp.where(angle < 0, angle + 360.0, angle)
 
     # --- rotated rBRIEF on the MXU ----------------------------------------
     # Per-keypoint 37x37 slab from the stacked blurred pyramid (keypoints are
