@@ -73,7 +73,8 @@ def _sequence(args, cfg):
     if args.mode == "stereo_kitti":
         return D.KittiStereoSequence(args.data)
     if args.mode == "stereo_euroc":
-        return D.EurocStereoSequence(args.data, rect=P.EUROC_RECTIFICATION)
+        rect = None if args.no_rect else P.EUROC_RECTIFICATION
+        return D.EurocStereoSequence(args.data, rect=rect)
     if args.mode == "rgbd_tum":
         return D.TumRgbdSequence(
             args.data, depth_factor=cfg.tracking.depth_map_factor
@@ -90,6 +91,9 @@ def main(argv=None):
     ap.add_argument("--variant", type=int, default=1,
                     help="TUM freiburg variant 1/2/3 (default 1)")
     ap.add_argument("--max-frames", type=int, default=None)
+    ap.add_argument("--no-rect", action="store_true",
+                    help="skip EuRoC stereo rectification (fixture sequences "
+                         "are rendered already-rectified)")
     ap.add_argument("--out", default="trajectory.txt",
                     help="trajectory output path (TUM format)")
     ap.add_argument("--out-kf", default=None, help="keyframe trajectory path")
@@ -99,7 +103,13 @@ def main(argv=None):
                     help="switch to localization-only mode (no mapping) after "
                          "N frames (0 = never; viewer menu toggle in the "
                          "reference, System.cc:311-319)")
+    ap.add_argument("--cpu", action="store_true", help="force CPU platform")
     args = ap.parse_args(argv)
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     from refactored_orb_slam2_tpu.system import SlamSystem
 
