@@ -216,6 +216,137 @@ def build_ba_problem(
     )
 
 
+def gather_ba_window(
+    state: MapState,
+    window_mask_kf: jax.Array,   # (K,) bool: optimized KFs
+    fixed_mask_kf: jax.Array,    # (K,) bool: fixed-KF candidates
+    inv_sigma2_table: jax.Array,
+    *,
+    max_kfs: int,
+    max_points: int,
+):
+    """Compact the local-BA window into a small static-shape BAProblem.
+
+    The reference's LocalBundleAdjustment (Optimizer.cc:437-533) builds its
+    g2o graph from exactly this set: the covisible window, every point one
+    of them observes, and — fixed — every other keyframe observing those
+    points.  Here that subgraph is *gathered* into (max_kfs, max_points, O)
+    arrays so BA cost scales with the window, not with map capacity.
+
+    Fixed keyframes are ranked by how many window-point observations they
+    contribute, so when the boundary overflows ``max_kfs`` the most
+    constraining ones are kept.
+
+    Returns (problem, kf_sel, pt_sel, n_pt_in) where kf_sel/pt_sel map
+    compact rows back to map slots (pad rows point one past the end) and
+    n_pt_in counts window points before the ``max_points`` clamp (host-side
+    overflow signal).
+    """
+    K, N, P, O = state.capacity
+    max_kfs = min(max_kfs, K)
+    max_points = min(max_points, P)
+    window = window_mask_kf & state.kf_valid
+    kfc = jnp.clip(state.pt_obs_kf, 0)
+    obs_exists = (state.pt_obs_kf >= 0) & jnp.take(state.kf_valid, kfc)
+
+    # points seen from the window
+    pt_in = state.pt_valid & jnp.any(
+        obs_exists & jnp.take(window, kfc), axis=1
+    )
+    n_pt_in = jnp.sum(pt_in.astype(jnp.int32))
+    (pt_sel,) = jnp.nonzero(pt_in, size=max_points, fill_value=P)
+    pt_ok = pt_sel < P
+    psafe = jnp.clip(pt_sel, 0, P - 1)
+
+    # keyframes observing selected points -> fixed-boundary candidates,
+    # ranked by observation count (Optimizer.cc:517-532 lFixedCameras)
+    sel_obs_kf = state.pt_obs_kf[psafe]                      # (Pw, O)
+    sel_obs_ok = obs_exists[psafe] & pt_ok[:, None]
+    obs_ct = jax.ops.segment_sum(
+        sel_obs_ok.astype(jnp.int32).reshape(-1),
+        jnp.clip(sel_obs_kf, 0).reshape(-1),
+        num_segments=K,
+    )
+    fixed_eff = fixed_mask_kf & state.kf_valid & ~window & (obs_ct > 0)
+    rank = jnp.where(window, 0, jnp.where(fixed_eff, 1, 2)).astype(jnp.int32)
+    # ascending sort: window first, then fixed by -obs_ct, slot as tiebreak
+    order = jnp.lexsort((jnp.arange(K), -obs_ct, rank))
+    kf_sel = order[:max_kfs]                                 # (Kw,)
+    kf_in = jnp.take(rank, kf_sel) < 2
+    kf_sel = jnp.where(kf_in, kf_sel, K)                     # pad -> K
+    ksafe = jnp.clip(kf_sel, 0, K - 1)
+    # map-slot -> compact-row lookup (K+1 absorbs pads)
+    kf_map = jnp.full((K + 1,), -1, jnp.int32).at[kf_sel].set(
+        jnp.arange(max_kfs, dtype=jnp.int32), mode="drop"
+    )
+
+    # compact observation rows: remap kf slots, drop obs outside the subgraph
+    compact_kf = kf_map[jnp.clip(sel_obs_kf, 0, K)]          # (Pw, O)
+    obs_ok = sel_obs_ok & (compact_kf >= 0)
+    sel_obs_feat = jnp.clip(state.pt_obs_feat[psafe], 0)
+    uvr = state.kf_uvr[jnp.clip(sel_obs_kf, 0), sel_obs_feat]
+    octv = state.kf_octave[jnp.clip(sel_obs_kf, 0), sel_obs_feat]
+    inv_s2 = jnp.take(
+        inv_sigma2_table, jnp.clip(octv, 0, inv_sigma2_table.shape[0] - 1)
+    )
+
+    prob = BAProblem(
+        kf_poses=state.kf_pose[ksafe],
+        kf_fixed=kf_in & ~jnp.take(window, ksafe),
+        kf_valid=kf_in,
+        points=state.pt_pos[psafe],
+        point_valid=pt_ok,
+        obs_kf=jnp.where(obs_ok, compact_kf, -1),
+        obs_uvr=uvr,
+        obs_inv_sigma2=inv_s2,
+        obs_is_stereo=uvr[..., 2] >= 0,
+        obs_valid=obs_ok,
+    )
+    return prob, kf_sel, pt_sel, n_pt_in
+
+
+def scatter_ba_window(
+    state: MapState,
+    prob: BAProblem,
+    kf_sel: jax.Array,
+    pt_sel: jax.Array,
+    ba_poses: jax.Array,
+    ba_points: jax.Array,
+    ba_obs_valid: jax.Array,
+) -> MapState:
+    """Write compact-window BA results back into the full map
+    (Optimizer.cc:696-744 semantics, windowed)."""
+    K, N, P, O = state.capacity
+    opt_kf = prob.kf_valid & ~prob.kf_fixed
+    kf_tgt = jnp.where(opt_kf, kf_sel, K)
+    kf_pose = state.kf_pose.at[kf_tgt].set(ba_poses, mode="drop")
+    pt_tgt = jnp.where(prob.point_valid, pt_sel, P)
+    pt_pos = state.pt_pos.at[pt_tgt].set(ba_points, mode="drop")
+
+    # outlier observations: erase on both sides of the incidence
+    dropped = prob.obs_valid & ~ba_obs_valid                 # (Pw, O)
+    psafe = jnp.clip(pt_sel, 0, P - 1)
+    row_kf = jnp.where(dropped, -1, state.pt_obs_kf[psafe])
+    row_ft = jnp.where(dropped, -1, state.pt_obs_feat[psafe])
+    obs_kf = state.pt_obs_kf.at[pt_tgt].set(row_kf, mode="drop")
+    obs_feat = state.pt_obs_feat.at[pt_tgt].set(row_ft, mode="drop")
+
+    kfc = jnp.clip(state.pt_obs_kf[psafe], 0)
+    ftc = jnp.clip(state.pt_obs_feat[psafe], 0)
+    flat_idx = jnp.where(
+        dropped & (pt_sel < P)[:, None], kfc * N + ftc, K * N
+    ).reshape(-1)
+    clear = jnp.zeros((K * N,), jnp.int32).at[flat_idx].max(1, mode="drop")
+    kf_point_idx = jnp.where(clear.reshape(K, N) > 0, -1, state.kf_point_idx)
+    return state._replace(
+        kf_pose=kf_pose,
+        pt_pos=pt_pos,
+        pt_obs_kf=obs_kf,
+        pt_obs_feat=obs_feat,
+        kf_point_idx=kf_point_idx,
+    )
+
+
 def writeback_ba(
     state: MapState,
     ba_poses: jax.Array,

@@ -100,26 +100,45 @@ def create_empty(cfg: MapConfig, n_feat_slots: int) -> MapState:
 # Covisibility graph (replaces KeyFrame::UpdateConnections, KeyFrame.cc:268-354)
 # ---------------------------------------------------------------------------
 
+_COVIS_CHUNK = 8192
+
+
 def covisibility_matrix(state: MapState) -> jax.Array:
     """(K, K) int32 weights: number of map points seen by both keyframes.
 
-    One segment-sum over observation slot pairs; diagonal zeroed.
+    One MXU matmul per point chunk: scatter each chunk's observations into
+    a point-by-keyframe incidence matrix B and accumulate B^T B.  Replaces
+    KeyFrame::UpdateConnections' per-object counting (KeyFrame.cc:268-354)
+    and the earlier O(O^2) segment-sum unroll (which at full capacity was
+    1024 scatters over K^2 segments).
     """
     K, N, P, O = state.capacity
     kf = state.pt_obs_kf                          # (P, O)
     valid = (kf >= 0) & state.pt_valid[:, None]
     kfc = jnp.clip(kf, 0)
-    W = jnp.zeros((K * K,), jnp.int32)
-    for o1 in range(O):
-        for o2 in range(O):
-            if o1 == o2:
-                continue
-            pair_ok = valid[:, o1] & valid[:, o2]
-            seg = kfc[:, o1] * K + kfc[:, o2]
-            W = W + jax.ops.segment_sum(
-                pair_ok.astype(jnp.int32), seg, num_segments=K * K
-            )
-    W = W.reshape(K, K)
+
+    chunk = min(_COVIS_CHUNK, P)
+    n_chunks = -(-P // chunk)
+    pad = n_chunks * chunk - P
+    if pad:
+        kfc = jnp.pad(kfc, ((0, pad), (0, 0)))
+        valid = jnp.pad(valid, ((0, pad), (0, 0)))
+
+    rows = jnp.arange(chunk)[:, None]
+
+    def body(carry, args):
+        kf_c, ok_c = args                         # (chunk, O)
+        B = jnp.zeros((chunk, K), jnp.float32).at[rows, kf_c].add(
+            ok_c.astype(jnp.float32)
+        )
+        return carry + B.T @ B, None
+
+    W, _ = jax.lax.scan(
+        body,
+        jnp.zeros((K, K), jnp.float32),
+        (kfc.reshape(n_chunks, chunk, O), valid.reshape(n_chunks, chunk, O)),
+    )
+    W = W.astype(jnp.int32)
     return W * (1 - jnp.eye(K, dtype=jnp.int32))
 
 
@@ -151,17 +170,32 @@ def update_point_stats(
     descs = state.kf_desc[kfc, ftc]
     from ..ops.descriptors import unpack_pm1
 
-    pm1 = unpack_pm1(descs, dtype=jnp.float32)         # (P, O, 256)
-    # pairwise Hamming inside each point's observation set
-    dots = jnp.einsum("poi,pqi->poq", pm1, pm1)
-    ham = (256.0 - dots) * 0.5
+    # pairwise Hamming inside each point's observation set, chunked over P
+    # so the (chunk, O, 256) unpack stays tens of MB at full map capacity
     big = 1e9
-    pair_ok = obs_ok[:, :, None] & obs_ok[:, None, :]
-    ham = jnp.where(pair_ok, ham, big)
-    # median distance to others per observation ~ reference takes median;
-    # sum is an equivalent minimizer for typical O and cheaper
-    ham_sum = jnp.where(obs_ok, jnp.sum(jnp.where(pair_ok, ham, 0.0), axis=2), big)
-    best_obs = jnp.argmin(ham_sum, axis=1)
+    chunk = min(2048, P)
+    n_chunks = -(-P // chunk)
+    pad = n_chunks * chunk - P
+    descs_c = jnp.pad(descs, ((0, pad), (0, 0), (0, 0))) if pad else descs
+    ok_c = jnp.pad(obs_ok, ((0, pad), (0, 0))) if pad else obs_ok
+
+    def chunk_best(args):
+        d, ok = args                                   # (chunk, O, 8), (chunk, O)
+        pm1 = unpack_pm1(d, dtype=jnp.float32)         # (chunk, O, 256)
+        dots = jnp.einsum("poi,pqi->poq", pm1, pm1)
+        ham = (256.0 - dots) * 0.5
+        pair_ok = ok[:, :, None] & ok[:, None, :]
+        # median distance to others per observation ~ reference takes
+        # median; sum is an equivalent minimizer for typical O and cheaper
+        ham_sum = jnp.where(
+            ok, jnp.sum(jnp.where(pair_ok, ham, 0.0), axis=2), big
+        )
+        return jnp.argmin(ham_sum, axis=1)
+
+    best_obs = jax.lax.map(
+        chunk_best,
+        (descs_c.reshape(n_chunks, chunk, O, 8), ok_c.reshape(n_chunks, chunk, O)),
+    ).reshape(-1)[:P]
     new_desc = descs[jnp.arange(P), best_obs]
     has_obs = jnp.any(obs_ok, axis=1)
     pt_desc = jnp.where(has_obs[:, None], new_desc, state.pt_desc)

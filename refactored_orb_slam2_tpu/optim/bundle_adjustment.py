@@ -11,10 +11,21 @@ array form:
   SoA incidence layout), each slot naming its keyframe;
 - U (camera diag blocks), V (point 3x3 blocks), W (cam-point coupling) are
   assembled with ``segment_sum`` scatters;
-- the camera system ``S = U - W V^-1 W^T`` is built by an unrolled loop
-  over slot pairs (static O^2 trip count, no dynamic sparsity);
-- S is solved dense per LM iteration (window sizes K <= ~200 keep this in
-  the MXU sweet spot), points recovered by back-substitution;
+- two interchangeable solvers for the reduced camera system
+  ``S = U - W V^-1 W^T``:
+
+  * ``solver="dense"`` — the camera-pair fill-in is built as one MXU
+    matmul over per-point camera-binned blocks (scatter the Y/W blocks
+    into a (P, K, 6, 3) bin array, contract over points), then a dense
+    (6K, 6K) solve.  Right for compacted local windows (K <= ~100).
+  * ``solver="pcg"`` — matrix-free preconditioned conjugate gradients:
+    ``S x`` is evaluated as gathers + einsums + one segment-sum per
+    matvec, so S is never materialized and memory stays O(P*O).  Block-
+    Jacobi (6x6 camera blocks) preconditioner.  Right for global BA at
+    full map capacity (the dense fill-in would need a (P, K, 6, 3)
+    temporary — gigabytes at K=512, P=65536).
+
+- points recovered by back-substitution;
 - Huber robustification and per-octave information mirror the reference;
   fixed cameras are masked out of the linear system.
 
@@ -105,13 +116,15 @@ def _huber_vec(chi2, delta2):
     return jnp.where(chi2 <= delta2, 1.0, jnp.sqrt(delta2 / e))
 
 
-def _lm_step(cam: Camera, prob: BAProblem, poses, points, lam, use_huber):
-    """One LM solve: returns (delta_poses applied?, new poses/points, err...)"""
+def _assemble(cam: Camera, prob: BAProblem, poses, points, lam, use_huber):
+    """Shared LM block assembly: U/V/W/Y blocks + reduced rhs.
+
+    Returns a dict of all pieces both solver paths need.
+    """
     K = poses.shape[0]
     P, O = prob.obs_kf.shape
     r, Jc, Jp, w, chi2, _, err = _edge_terms(cam, prob, poses, points, use_huber)
 
-    # --- block assembly ---------------------------------------------------
     # V (point blocks) and b_p
     V = jnp.einsum("pori,por,porj->pij", Jp, w, Jp)            # (P, 3, 3)
     b_p = jnp.einsum("pori,por,por->pi", Jp, w, r)             # (P, 3)
@@ -124,7 +137,8 @@ def _lm_step(cam: Camera, prob: BAProblem, poses, points, lam, use_huber):
     V_inv = jnp.linalg.inv(Vd)
 
     # U (camera blocks) and b_c via scatter over kf index
-    kf_flat = jnp.clip(prob.obs_kf, 0).reshape(-1)
+    kf_idx = jnp.clip(prob.obs_kf, 0)
+    kf_flat = kf_idx.reshape(-1)
     Uc_e = jnp.einsum("pori,por,porj->poij", Jc, w, Jc).reshape(P * O, 6, 6)
     U = jax.ops.segment_sum(Uc_e, kf_flat, num_segments=K)
     bc_e = jnp.einsum("pori,por,por->poi", Jc, w, r).reshape(P * O, 6)
@@ -134,57 +148,124 @@ def _lm_step(cam: Camera, prob: BAProblem, poses, points, lam, use_huber):
     Wb = jnp.einsum("pori,por,porj->poij", Jc, w, Jp)
     Y = jnp.einsum("poij,pjk->poik", Wb, V_inv)
 
-    # Schur complement S = U - sum_p Y W^T (camera-pair fill-in)
-    S = jnp.zeros((K, K, 6, 6), dtype=poses.dtype)
-    kf_idx = jnp.clip(prob.obs_kf, 0)
-    for o1 in range(O):
-        for o2 in range(O):
-            contrib = jnp.einsum("pij,pkj->pik", Y[:, o1], Wb[:, o2])  # (P,6,6)
-            seg = kf_idx[:, o1] * K + kf_idx[:, o2]
-            S = (
-                S.reshape(K * K, 6, 6)
-                + jax.ops.segment_sum(-contrib, seg, num_segments=K * K)
-            ).reshape(K, K, 6, 6)
-    # add U on the diagonal + LM damping
-    diag_idx = jnp.arange(K)
+    # LM damping on camera blocks
     lamU = lam * jax.vmap(jnp.diag)(jax.vmap(jnp.diag)(U)) + 1e-9 * jnp.eye(6)
-    S = S.at[diag_idx, diag_idx].add(U + lamU)
+    U_damped = U + lamU
 
     # reduced rhs: b_c - sum_o Y b_p
     red_e = jnp.einsum("poij,pj->poi", Y, b_p).reshape(P * O, 6)
     b_red = b_c - jax.ops.segment_sum(red_e, kf_flat, num_segments=K)
 
-    # mask fixed / invalid cameras out of the system
     free = (prob.kf_valid & ~prob.kf_fixed).astype(poses.dtype)
+    b_red = b_red * free[:, None]
+    return dict(
+        V_inv=V_inv, b_p=b_p, U_damped=U_damped, b_red=b_red,
+        Wb=Wb, Y=Y, kf_idx=kf_idx, kf_flat=kf_flat, free=free, err=err,
+    )
+
+
+def _solve_dense(a, K):
+    """Dense Schur solve.  Fill-in via per-point camera bins + one matmul:
+    S_fill[k1,k2] = -sum_p A_p[k1] B_p[k2]^T with A/B the Y/W blocks binned
+    by camera — a (K*6*3, P) x (P, K*6*3)-shaped MXU contraction instead of
+    the O(O^2) segment-sum unroll."""
+    P, O = a["kf_idx"].shape
+    rows = jnp.arange(P)[:, None]
+    binsA = jnp.zeros((P, K, 6, 3), a["Y"].dtype).at[rows, a["kf_idx"]].add(a["Y"])
+    binsB = jnp.zeros((P, K, 6, 3), a["Wb"].dtype).at[rows, a["kf_idx"]].add(a["Wb"])
+    S = -jnp.einsum("paij,pbkj->abik", binsA, binsB)          # (K, K, 6, 6)
+    diag_idx = jnp.arange(K)
+    S = S.at[diag_idx, diag_idx].add(a["U_damped"])
+
+    free = a["free"]
     mask2 = free[:, None] * free[None, :]
     S = S * mask2[:, :, None, None]
-    eye6 = jnp.eye(6, dtype=poses.dtype)
+    eye6 = jnp.eye(6, dtype=S.dtype)
     S = S.at[diag_idx, diag_idx].add((1.0 - free)[:, None, None] * eye6)
-    b_red = b_red * free[:, None]
 
-    # dense solve of the (6K, 6K) camera system
     S_dense = S.transpose(0, 2, 1, 3).reshape(6 * K, 6 * K)
-    # Newton: (H + lam) dx = -g with g = J^T W r and J already = -dpred/dx
-    dx_c = -jnp.linalg.solve(S_dense, b_red.reshape(6 * K)).reshape(K, 6)
-    dx_c = dx_c * free[:, None]
+    dx_c = -jnp.linalg.solve(S_dense, a["b_red"].reshape(6 * K)).reshape(K, 6)
+    return dx_c * free[:, None]
+
+
+def _solve_pcg(a, K, n_cg):
+    """Matrix-free PCG on the Schur system with block-Jacobi preconditioner.
+
+    S x = U_damped x - W V^-1 W^T x evaluated per matvec as one gather,
+    three small einsums, and one segment-sum — S never materialized.
+    """
+    free = a["free"]
+    Wb, V_inv, kf_idx, kf_flat = a["Wb"], a["V_inv"], a["kf_idx"], a["kf_flat"]
+    P, O = kf_idx.shape
+
+    def matvec(x):                                            # (K, 6)
+        xf = x * free[:, None]
+        ux = jnp.einsum("kij,kj->ki", a["U_damped"], xf)
+        xo = xf[kf_idx]                                       # (P, O, 6)
+        wtx = jnp.einsum("poij,poi->pj", Wb, xo)              # (P, 3)
+        vy = jnp.einsum("pij,pj->pi", V_inv, wtx)
+        wy_e = jnp.einsum("poij,pj->poi", Wb, vy).reshape(P * O, 6)
+        wy = jax.ops.segment_sum(wy_e, kf_flat, num_segments=K)
+        # free rows get S x; fixed/invalid rows act as identity
+        return (ux - wy) * free[:, None] + (x - xf)
+
+    # block-Jacobi preconditioner (6x6 damped camera blocks)
+    eye6 = jnp.eye(6, dtype=Wb.dtype)
+    M = a["U_damped"] * free[:, None, None] + (1.0 - free)[:, None, None] * eye6
+    M = M + 1e-8 * eye6
+    M_inv = jnp.linalg.inv(M)
+    precond = lambda v: jnp.einsum("kij,kj->ki", M_inv, v)
+
+    b = -a["b_red"]
+    x0 = jnp.zeros_like(b)
+    r0 = b - matvec(x0)
+    z0 = precond(r0)
+
+    def body(_, state):
+        x, r, z, p, rz = state
+        Ap = matvec(p)
+        pAp = jnp.sum(p * Ap)
+        alpha = rz / jnp.where(jnp.abs(pAp) < 1e-20, 1e-20, pAp)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = precond(r)
+        rz_new = jnp.sum(r * z)
+        beta = rz_new / jnp.where(jnp.abs(rz) < 1e-20, 1e-20, rz)
+        p = z + beta * p
+        return x, r, z, p, rz_new
+
+    x, _, _, _, _ = jax.lax.fori_loop(
+        0, n_cg, body, (x0, r0, z0, z0, jnp.sum(r0 * z0))
+    )
+    return x * free[:, None]
+
+
+def _lm_step(cam: Camera, prob: BAProblem, poses, points, lam, use_huber,
+             solver: str, n_cg: int):
+    """One LM solve: returns (new poses, new points, err before step)."""
+    K = poses.shape[0]
+    a = _assemble(cam, prob, poses, points, lam, use_huber)
+    if solver == "dense":
+        dx_c = _solve_dense(a, K)
+    else:
+        dx_c = _solve_pcg(a, K, n_cg)
 
     # back-substitute points: dx_p = V^-1 (-b_p - W^T dx_c summed over obs)
-    dxc_per_obs = dx_c[kf_idx]                                # (P, O, 6)
-    # Wb is the (6, 3) cam-point block; W^T dx_c sums over obs and the 6-dim
-    wt_dxc = jnp.einsum("poij,poi->pj", Wb, dxc_per_obs)      # (P, 3)
-    dx_p = jnp.einsum("pij,pj->pi", V_inv, -(b_p + wt_dxc))
+    dxc_per_obs = dx_c[a["kf_idx"]]                           # (P, O, 6)
+    wt_dxc = jnp.einsum("poij,poi->pj", a["Wb"], dxc_per_obs)  # (P, 3)
+    dx_p = jnp.einsum("pij,pj->pi", a["V_inv"], -(a["b_p"] + wt_dxc))
     dx_p = dx_p * prob.point_valid[:, None].astype(poses.dtype)
 
     new_poses = jax.vmap(lambda d, T: se3.exp(d) @ T)(dx_c, poses)
     new_points = points + dx_p
-    return new_poses, new_points, err
+    return new_poses, new_points, a["err"]
 
 
-def _run_lm(cam, prob, poses, points, n_iters, use_huber):
+def _run_lm(cam, prob, poses, points, n_iters, use_huber, solver, n_cg):
     def body(_, state):
         poses, points, lam = state
         new_poses, new_points, err_old = _lm_step(
-            cam, prob, poses, points, lam, use_huber
+            cam, prob, poses, points, lam, use_huber, solver, n_cg
         )
         _, _, _, _, _, _, err_new = _edge_terms(
             cam, prob, new_poses, new_points, use_huber
@@ -217,19 +298,26 @@ def run(
     *,
     iters_phase1: int = 5,
     iters_phase2: int = 10,
+    solver: str = "dense",
+    n_cg: int = 80,
 ) -> BAResult:
     """Two-phase BA with the reference's outlier-drop between phases.
 
     Use iters_phase1=20, iters_phase2=0 for the monocular-init GBA
     (Tracking.cc:618), 10/0 for loop-closing GBA (LoopClosing.cc:622),
     5/10 for local BA (Optimizer.cc:650-693).
+
+    solver: "dense" (compact windows) or "pcg" (matrix-free, for global BA
+    at full map capacity); n_cg = CG iterations per LM step (pcg only).
     """
     poses, points = prob.kf_poses, prob.points
-    poses, points = _run_lm(cam, prob, poses, points, iters_phase1, True)
+    poses, points = _run_lm(cam, prob, poses, points, iters_phase1, True,
+                            solver, n_cg)
     if iters_phase2 > 0:
         new_valid = classify_outliers(cam, prob, poses, points)
         prob = prob._replace(obs_valid=new_valid)
-        poses, points = _run_lm(cam, prob, poses, points, iters_phase2, True)
+        poses, points = _run_lm(cam, prob, poses, points, iters_phase2, True,
+                                solver, n_cg)
     final_valid = classify_outliers(cam, prob, poses, points)
     _, _, _, _, chi2, _, err = _edge_terms(cam, prob, poses, points, False)
     return BAResult(

@@ -64,9 +64,10 @@ def shard_ba_problem(prob: BA.BAProblem, mesh: Mesh, axis: str = "points") -> BA
     )
 
 
-@partial(jax.jit, static_argnames=("iters_phase1", "iters_phase2"))
-def _run_ba(cam, prob, iters_phase1, iters_phase2):
-    return BA.run(cam, prob, iters_phase1=iters_phase1, iters_phase2=iters_phase2)
+@partial(jax.jit, static_argnames=("iters_phase1", "iters_phase2", "solver", "n_cg"))
+def _run_ba(cam, prob, iters_phase1, iters_phase2, solver, n_cg):
+    return BA.run(cam, prob, iters_phase1=iters_phase1, iters_phase2=iters_phase2,
+                  solver=solver, n_cg=n_cg)
 
 
 def run_distributed_ba(
@@ -76,11 +77,16 @@ def run_distributed_ba(
     *,
     iters_phase1: int = 10,
     iters_phase2: int = 0,
+    solver: str = "pcg",
+    n_cg: int = 80,
 ) -> BA.BAResult:
     """Global BA with the point dimension sharded across the mesh.
 
     Point counts should be padded to a multiple of the device count (the
-    map's static capacities normally guarantee this).
+    map's static capacities normally guarantee this).  The matrix-free PCG
+    solver is the default: every Schur matvec's camera-side segment-sum
+    becomes a partial sum over the local point shard + an XLA-inserted
+    psum over ICI, and the preconditioner solve is replicated (tiny).
     """
     sharded = shard_ba_problem(prob, mesh)
-    return _run_ba(cam, sharded, iters_phase1, iters_phase2)
+    return _run_ba(cam, sharded, iters_phase1, iters_phase2, solver, n_cg)

@@ -114,9 +114,11 @@ def run_multihost_ba(
     *,
     iters_phase1: int = 10,
     iters_phase2: int = 0,
+    solver: str = "pcg",
+    n_cg: int = 80,
 ) -> BA.BAResult:
     """Jitted Schur BA over the global mesh; call from every process."""
-    return _run_ba(cam, global_prob, iters_phase1, iters_phase2)
+    return _run_ba(cam, global_prob, iters_phase1, iters_phase2, solver, n_cg)
 
 
 def local_points(result: BA.BAResult) -> np.ndarray:

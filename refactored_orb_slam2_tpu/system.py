@@ -36,6 +36,7 @@ from .ops.image import level_sigma2
 from .ops.orb import level_quotas
 from .optim import bundle_adjustment as BA
 from .optim.pose_opt import optimize_pose
+from .utils import telemetry
 from .utils.config import SystemConfig, camera_from_config
 
 
@@ -176,9 +177,14 @@ class SlamSystem:
         self._jit_visibility = jax.jit(LM.update_visibility)
         self._jit_build_ba = jax.jit(map_ops.build_ba_problem)
         self._jit_run_ba = jax.jit(
-            BA.run, static_argnames=("iters_phase1", "iters_phase2")
+            BA.run,
+            static_argnames=("iters_phase1", "iters_phase2", "solver", "n_cg"),
         )
         self._jit_writeback = jax.jit(map_ops.writeback_ba)
+        self._jit_gather_ba = jax.jit(
+            map_ops.gather_ba_window, static_argnames=("max_kfs", "max_points")
+        )
+        self._jit_scatter_ba = jax.jit(map_ops.scatter_ba_window)
 
     # -------------------------------------------------------- facade control
     def activate_localization_mode(self):
@@ -516,11 +522,7 @@ class SlamSystem:
         # init global BA, 20 iterations (Tracking.cc:618)
         window = jnp.zeros(self.map.kf_valid.shape[0], bool).at[kf1].set(True)
         fixed = jnp.zeros_like(window).at[kf0].set(True)
-        prob = self._jit_build_ba(self.map, window, fixed, self.inv_sigma2_table)
-        result = self._jit_run_ba(self.cam, prob, iters_phase1=20, iters_phase2=0)
-        self.map = self._jit_writeback(
-            self.map, result.kf_poses, result.points, result.obs_valid, prob
-        )
+        self._windowed_ba(window, fixed, 20, 0)
         self.map = self._jit_update_stats(
             self.map, scale_factor=self.cfg.orb.scale_factor,
             n_levels=self.cfg.orb.n_levels,
@@ -537,6 +539,12 @@ class SlamSystem:
     def _need_new_keyframe(self, frame, pt_idx, n_inliers: int) -> bool:
         """Adapted NeedNewKeyFrame (Tracking.cc:880-962)."""
         if self.n_kf >= self.cfg.map.max_keyframes - 2:
+            telemetry.warn(
+                "kf_capacity",
+                f"keyframe bank full ({self.n_kf}/{self.cfg.map.max_keyframes})"
+                " — no further keyframes will be inserted; raise "
+                "MapConfig.max_keyframes",
+            )
             return False
         # reference gates insertion on local mapping being idle
         # (Tracking.cc:902 bLocalMappingIdle)
@@ -595,12 +603,20 @@ class SlamSystem:
         kf_slot = self._insert_keyframe_arrays(frame, pose, pt_idx, parent=self.ref_kf)
         # stereo/RGB-D: create close points for untracked features
         if self.sensor != "monocular":
-            self.map, n_new = self._jit_create_points(
-                self.map, jnp.int32(kf_slot), frame.depth, pt_idx, self.cam,
-                th_depth=float(self.th_depth_m),
-                pt_base=jnp.int32(self.n_pt), max_new=128,
-            )
-            self.n_pt += int(n_new)
+            cap = self.map.pt_pos.shape[0]
+            if self.n_pt >= cap - 128:
+                telemetry.warn(
+                    "pt_capacity",
+                    f"map-point bank full ({self.n_pt}/{cap}) — close-point "
+                    "creation suspended; raise MapConfig.max_points",
+                )
+            else:
+                self.map, n_new = self._jit_create_points(
+                    self.map, jnp.int32(kf_slot), frame.depth, pt_idx, self.cam,
+                    th_depth=float(self.th_depth_m),
+                    pt_base=jnp.int32(self.n_pt), max_new=128,
+                )
+                self.n_pt += int(n_new)
         self.ref_kf = kf_slot
         self.last_kf_frame_id = self.frame_id
         self.last_pt_idx = self.map.kf_point_idx[kf_slot]
@@ -643,7 +659,14 @@ class SlamSystem:
         min_bl = 0.01 if self.sensor == "monocular" else 0.005
         cap = self.map.pt_pos.shape[0]
         for nb in neighbors:
-            if row[nb] <= 15 or self.n_pt >= cap - 64:
+            if self.n_pt >= cap - 64:
+                telemetry.warn(
+                    "pt_capacity",
+                    f"map-point bank full ({self.n_pt}/{cap}) — triangulation "
+                    "suspended; raise MapConfig.max_points",
+                )
+                break
+            if row[nb] <= 15:
                 continue
             self.map, n_new = self._jit_triangulate(
                 self.map, jnp.int32(kf_slot), jnp.int32(int(nb)), self.cam,
@@ -655,6 +678,46 @@ class SlamSystem:
             self.n_pt += int(n_new)
 
     # ------------------------------------------------------------ local BA
+    def _windowed_ba(self, window_mask, fixed_mask, iters1: int, iters2: int):
+        """Compact-window BA: gather the covisibility subgraph into small
+        static arrays, dense Schur solve, scatter results back.  Cost scales
+        with the window, not with map capacity."""
+        mcfg = self.cfg.map
+        prob, kf_sel, pt_sel, n_pt_in = self._jit_gather_ba(
+            self.map, window_mask, fixed_mask, self.inv_sigma2_table,
+            max_kfs=mcfg.local_ba_max_kfs, max_points=mcfg.local_ba_max_points,
+        )
+        if int(n_pt_in) > mcfg.local_ba_max_points:
+            telemetry.warn(
+                "local_ba_point_overflow",
+                f"local BA window has {int(n_pt_in)} points; only "
+                f"{mcfg.local_ba_max_points} optimized (raise "
+                f"MapConfig.local_ba_max_points)",
+            )
+        result = self._jit_run_ba(
+            self.cam, prob, iters_phase1=iters1, iters_phase2=iters2
+        )
+        self.map = self._jit_scatter_ba(
+            self.map, prob, kf_sel, pt_sel,
+            result.kf_poses, result.points, result.obs_valid,
+        )
+
+    def _global_ba(self, window_mask, fixed_mask, iters: int):
+        """Full-map BA with the matrix-free Schur-PCG solver
+        (Optimizer::GlobalBundleAdjustemnt, Optimizer.cc:43-50): no window
+        compaction, memory stays O(P*O) — the (K,K) Schur fill-in is never
+        materialized."""
+        prob = self._jit_build_ba(
+            self.map, window_mask, fixed_mask, self.inv_sigma2_table
+        )
+        result = self._jit_run_ba(
+            self.cam, prob, iters_phase1=iters, iters_phase2=0,
+            solver="pcg", n_cg=self.cfg.map.gba_cg_iters,
+        )
+        self.map = self._jit_writeback(
+            self.map, result.kf_poses, result.points, result.obs_valid, prob
+        )
+
     def _local_ba(self, kf_slot: int):
         """Covisibility-window BA (Optimizer::LocalBundleAdjustment)."""
         if self.n_kf < 3:
@@ -667,17 +730,10 @@ class SlamSystem:
         window[neighbors[row[neighbors] > 0]] = True
         window[0] = False  # never move the origin keyframe
         window_mask = jnp.asarray(window)
-        # fixed: any valid KF not in window that observes window points —
-        # conservatively include all other valid KFs as fixed candidates;
-        # build_ba_problem drops observations of KFs outside window|fixed.
+        # fixed: any valid KF not in window that observes window points
+        # (gather_ba_window keeps the most-constraining boundary KFs)
         fixed_mask = jnp.asarray(~window) & self.map.kf_valid
-        prob = self._jit_build_ba(
-            self.map, window_mask, fixed_mask, self.inv_sigma2_table
-        )
-        result = self._jit_run_ba(self.cam, prob, iters_phase1=5, iters_phase2=10)
-        self.map = self._jit_writeback(
-            self.map, result.kf_poses, result.points, result.obs_valid, prob
-        )
+        self._windowed_ba(window_mask, fixed_mask, 5, 10)
         # keep the tracker's pose consistent with the adjusted keyframe
         # (only safe when mapping runs on the tracking thread; the async
         # mapper must not move the live pose out from under the tracker)
@@ -927,11 +983,7 @@ class SlamSystem:
         )
         window = jnp.asarray(kf_valid) & (jnp.arange(K) != 0)
         fixed = jnp.zeros(K, bool).at[0].set(True)
-        prob = self._jit_build_ba(self.map, window, fixed, self.inv_sigma2_table)
-        result = self._jit_run_ba(self.cam, prob, iters_phase1=10, iters_phase2=0)
-        self.map = self._jit_writeback(
-            self.map, result.kf_poses, result.points, result.obs_valid, prob
-        )
+        self._global_ba(window, fixed, iters=10)
         self.map = self._jit_update_stats(
             self.map, scale_factor=self.cfg.orb.scale_factor,
             n_levels=self.cfg.orb.n_levels,

@@ -92,6 +92,12 @@ class MapConfig:
     max_obs_per_point: int = 32
     covis_threshold: int = 15         # KeyFrame::UpdateConnections (KeyFrame.cc:310)
     ess_graph_min_weight: int = 100   # OptimizeEssentialGraph (Optimizer.cc:796)
+    # local-BA window compaction (gather_ba_window): dense Schur solve over
+    # at most this many keyframes (window + fixed boundary) / points
+    local_ba_max_kfs: int = 64
+    local_ba_max_points: int = 8192
+    # CG iterations per LM step for the matrix-free global-BA solver
+    gba_cg_iters: int = 80
 
 
 @dataclass(frozen=True)

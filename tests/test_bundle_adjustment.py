@@ -129,6 +129,44 @@ class TestBA:
         assert after < before * 0.2, (before, after)
 
 
+class TestPCGSolver:
+    """Matrix-free Schur-PCG path (solver="pcg") vs the dense path."""
+
+    def test_pcg_matches_dense(self):
+        cam, prob, poses_true, pts_true, _ = make_ba_problem(5, stereo=True)
+        dense = run(cam, prob, iters_phase1=5, iters_phase2=10)
+        pcg = run(cam, prob, iters_phase1=5, iters_phase2=10,
+                  solver="pcg", n_cg=80)
+        # both solvers must land near the same optimum (not identical
+        # iterates — PCG is inexact per step, but LM converges)
+        err_d = np.asarray(jax.vmap(lambda a, b: se3.log(se3.inv(a) @ b))(
+            jnp.asarray(poses_true), dense.kf_poses))
+        err_p = np.asarray(jax.vmap(lambda a, b: se3.log(se3.inv(a) @ b))(
+            jnp.asarray(poses_true), pcg.kf_poses))
+        assert np.abs(err_d).max() < 5e-2, np.abs(err_d).max()
+        assert np.abs(err_p).max() < 5e-2, np.abs(err_p).max()
+        # and agree with each other
+        assert abs(np.abs(err_p).max() - np.abs(err_d).max()) < 2e-2
+
+    def test_pcg_mono_converges(self):
+        cam, prob, poses_true, pts_true, _ = make_ba_problem(6)
+        result = run(cam, prob, iters_phase1=5, iters_phase2=10,
+                     solver="pcg", n_cg=80)
+        pose_err = np.asarray(jax.vmap(lambda a, b: se3.log(se3.inv(a) @ b))(
+            jnp.asarray(poses_true), result.kf_poses))
+        assert np.abs(pose_err).max() < 5e-2
+        pt_err = np.linalg.norm(np.asarray(result.points) - pts_true, axis=1)
+        assert np.median(pt_err) < 0.08
+
+    def test_pcg_fixed_pose_untouched(self):
+        cam, prob, poses_true, _, _ = make_ba_problem(7)
+        result = run(cam, prob, solver="pcg", n_cg=40)
+        np.testing.assert_allclose(
+            np.asarray(result.kf_poses[0]), np.asarray(prob.kf_poses[0]),
+            atol=1e-7,
+        )
+
+
 class TestTriangulation:
     def test_dlt_exact(self):
         rng = np.random.default_rng(0)
