@@ -1,15 +1,18 @@
-"""Benchmark: per-frame tracking-step throughput on one chip.
+"""Benchmark: full-system per-frame tracking throughput on one chip.
 
-Measures the latency-critical per-frame compute of the SLAM engine — ORB
-extraction (pyramid/FAST/orientation/rBRIEF), Hamming matching against the
-landmark bank, and motion-only LM pose optimization — fused into a single
-XLA program (no host round-trips), on realistic TUM-sized frames
-(640x480, 1000 features).
+Drives the REAL ``SlamSystem._track`` path end-to-end — frame build (ORB
+pyramid/FAST/rBRIEF + RGB-D stereo synthesis), motion-model projection
+matching, pose-only LM, local-map selection + matching (Pallas fused kernel
+on TPU), second pose opt, visibility statistics, keyframe decision — plus
+synchronous keyframe-rate mapping (triangulation, fusion, culling, local
+BA) amortized into the run, at the reference's TUM configuration (640x480,
+1000 features).
 
-Prints one JSON line.  Baseline: the reference runs real-time at the
+Prints ONE JSON line.  Baseline: the reference runs real-time at the
 dataset rate (TUM 30 fps, mono_tum.cc:106-113 pacing), so
-``vs_baseline = fps / 30``; the BASELINE.md target is >= 2x reference
-throughput (vs_baseline >= 2).
+``vs_baseline = median_fps / 30``; BASELINE.md targets >= 2x reference.
+Median per-frame time matches the reference's own report
+(mono_tum.cc:133-140).
 """
 
 import json
@@ -20,95 +23,141 @@ import numpy as np
 
 
 def main():
+    sys.path.insert(0, "/root/repo")
     import jax
     import jax.numpy as jnp
 
-    sys.path.insert(0, "/root/repo")
-    from refactored_orb_slam2_tpu.geometry.camera import Camera
-    from refactored_orb_slam2_tpu.ops.orb import extract_orb
-    from refactored_orb_slam2_tpu.ops.descriptors import hamming
-    from refactored_orb_slam2_tpu.ops import matching as M
-    from refactored_orb_slam2_tpu.optim.pose_opt import optimize_pose
+    from refactored_orb_slam2_tpu.system import SlamSystem
+    from refactored_orb_slam2_tpu.utils.config import (
+        CameraConfig, MapConfig, ORBConfig, SystemConfig,
+    )
     from refactored_orb_slam2_tpu.utils.synthetic import SyntheticWorld
+    from refactored_orb_slam2_tpu.geometry import se3
 
     H, W = 480, 640
-    N_FEATURES = 1000
-    N_PTS = 1024
+    cfg = SystemConfig(
+        sensor="rgbd",
+        camera=CameraConfig(
+            fx=517.3, fy=516.5, cx=318.6, cy=255.3, bf=40.0,
+            width=W, height=H, fps=30,
+        ),
+        orb=ORBConfig(n_features=1000, n_levels=8),
+        map=MapConfig(max_keyframes=512, max_points=65536, max_obs_per_point=32),
+    )
+    sys_ = SlamSystem(cfg)
 
-    cam = Camera.create(517.3, 516.5, 318.6, 255.3, bf=40.0, width=W, height=H)
+    # Pallas-vs-XLA guard: the CI suite pins CPU, so exercise the TPU kernel
+    # here where the real chip is visible (VERDICT r1: "pallas tests can
+    # never run").
+    if sys_.use_pallas:
+        _pallas_selfcheck()
+
     world = SyntheticWorld.create(
-        seed=0, n_points=700, x_range=(-6, 6), y_range=(-4, 4), z_range=(2.5, 20.0)
+        seed=0, n_points=900, x_range=(-8, 8), y_range=(-4, 4),
+        z_range=(2.5, 20.0), clear_tube=0.0,
     )
     rng = np.random.default_rng(0)
-    imgs = [
-        world.render(np.eye(4, dtype=np.float32), cam, noise=2.0, rng=rng)
-        for _ in range(4)
+    step = np.asarray(se3.exp(jnp.asarray([0.04, 0, 0.01, 0, 0.004, 0],
+                                          jnp.float32)))
+    traj = [np.eye(4, dtype=np.float32)]
+    for _ in range(79):
+        traj.append(step @ traj[-1])
+
+    frames = [
+        (world.render(T, sys_.cam, noise=2.0, rng=rng), world.render_depth(T, sys_.cam))
+        for T in traj
     ]
 
-    pt_pos = np.stack(
-        [rng.uniform(-4, 4, N_PTS), rng.uniform(-3, 3, N_PTS), rng.uniform(3, 15, N_PTS)],
-        axis=1,
-    ).astype(np.float32)
-    pt_desc = rng.integers(0, 2**32, (N_PTS, 8), dtype=np.uint32)
-    z = pt_pos[:, 2]
-    uv_prior = np.stack(
-        [517.3 * pt_pos[:, 0] / z + 318.6, 516.5 * pt_pos[:, 1] / z + 255.3], axis=1
-    ).astype(np.float32)
+    times = []
+    n_lost = 0
+    t_map = 0.0
+    n_kf0 = 0
+    orig_pipeline = sys_._mapping_pipeline
 
-    def track_step(img, pt_pos, pt_desc, pt_uv_prior, Tcw0):
-        feats = extract_orb(img, n_features=N_FEATURES, n_levels=8)
-        dist = hamming(pt_desc, feats.desc)
-        geo = M.window_mask(pt_uv_prior, feats.xy, 15.0)
-        res = M.nn_match(
-            dist,
-            row_valid=jnp.ones(pt_pos.shape[0], bool),
-            col_valid=feats.valid,
-            extra_mask=geo,
-            max_dist=100,
-            ratio=0.9,
-        )
-        obs_uv = feats.xy[jnp.clip(res.idx, 0)]
-        obs = jnp.concatenate([obs_uv, -jnp.ones_like(obs_uv[:, :1])], axis=-1)
-        out = optimize_pose(
-            cam, Tcw0, pt_pos, obs,
-            jnp.ones(pt_pos.shape[0], jnp.float32),
-            res.mask, jnp.zeros(pt_pos.shape[0], bool),
-        )
-        return out.Tcw, out.n_inliers
+    def timed_pipeline(kf):
+        nonlocal t_map
+        t0 = time.perf_counter()
+        orig_pipeline(kf)
+        t_map += time.perf_counter() - t0
 
-    step = jax.jit(track_step)
-    # pre-stage frames on device: the benchmark measures the tracking
-    # step's compute throughput; in deployment frames stream to HBM via
-    # infeed concurrently with compute (and this environment's tunneled
-    # host->device link is not representative of real PCIe/infeed rates)
-    imgs_dev = [jax.device_put(jnp.asarray(im)) for im in imgs]
-    args = (
-        imgs_dev[0], jnp.asarray(pt_pos), jnp.asarray(pt_desc),
-        jnp.asarray(uv_prior), jnp.eye(4, dtype=jnp.float32),
+    sys_._mapping_pipeline = timed_pipeline
+
+    for i, (img, depth) in enumerate(frames):
+        t0 = time.perf_counter()
+        pose = sys_.track_rgbd(img, depth, i / 30.0)
+        times.append(time.perf_counter() - t0)
+        if pose is None:
+            n_lost += 1
+        if i == 9:  # compile/warmup boundary
+            times_warm_start = len(times)
+            n_kf0 = sys_.n_kf
+            t_map = 0.0
+        if (i + 1) % 20 == 0:
+            print(f"  frame {i + 1}: {times[-1] * 1e3:.1f} ms", file=sys.stderr,
+                  flush=True)
+
+    times = np.asarray(times[times_warm_start:])
+    med = float(np.median(times))
+    fps = 1.0 / med
+    n_kf = sys_.n_kf - n_kf0
+    print(
+        f"frames={len(times)} lost={n_lost} kf={sys_.n_kf} pts={sys_.n_pt} "
+        f"median={med * 1e3:.2f}ms mean={times.mean() * 1e3:.2f}ms "
+        f"mapping={t_map / max(n_kf, 1) * 1e3:.1f}ms/kf pallas={sys_.use_pallas}",
+        file=sys.stderr,
     )
-    # compile + warmup
-    jax.block_until_ready(step(*args))
-    for im in imgs_dev:
-        jax.block_until_ready(step(im, *args[1:]))
-
-    n_iters = 50
-    t0 = time.perf_counter()
-    for i in range(n_iters):
-        out = step(imgs_dev[i % len(imgs_dev)], *args[1:])
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / n_iters
-    fps = 1.0 / dt
-
     print(
         json.dumps(
             {
-                "metric": "tracking_step_fps",
+                "metric": "system_tracking_fps",
                 "value": round(fps, 2),
-                "unit": "frames/s (640x480, 1000 feats, fused extract+match+pose-opt)",
+                "unit": "frames/s median, full SlamSystem._track "
+                        "(640x480 RGB-D, 1000 feats, 64k-point map)",
                 "vs_baseline": round(fps / 30.0, 3),
             }
         )
     )
+
+
+def _pallas_selfcheck():
+    """Assert the Pallas fused matcher agrees with the XLA path on the real
+    chip before timing anything."""
+    import jax.numpy as jnp
+
+    from refactored_orb_slam2_tpu.ops.pallas_hamming import on_tpu
+    if not on_tpu():
+        return
+    from refactored_orb_slam2_tpu.frontend.pallas_glue import window_best2_padded
+    from refactored_orb_slam2_tpu.ops.descriptors import hamming
+    from refactored_orb_slam2_tpu.ops import matching as M
+
+    rng = np.random.default_rng(1)
+    nq, nt = 512, 1024
+    q = rng.integers(0, 2**32, (nq, 8), dtype=np.uint32)
+    t = rng.integers(0, 2**32, (nt, 8), dtype=np.uint32)
+    uv_q = rng.uniform(0, 640, (nq, 2)).astype(np.float32)
+    uv_t = rng.uniform(0, 640, (nt, 2)).astype(np.float32)
+    radius = np.full(nq, 60.0, np.float32)
+    lvl_q = rng.integers(0, 8, nq).astype(np.int32)
+    lvl_t = rng.integers(0, 8, nt).astype(np.int32)
+    rv = np.ones(nq, bool)
+    cv = np.ones(nt, bool)
+
+    d1, i1, d2 = window_best2_padded(
+        jnp.asarray(q), jnp.asarray(t), jnp.asarray(uv_q), jnp.asarray(uv_t),
+        jnp.asarray(radius), jnp.asarray(lvl_q), jnp.asarray(lvl_t),
+        jnp.asarray(rv), jnp.asarray(cv), (-1, 0),
+    )
+    dist = hamming(jnp.asarray(q), jnp.asarray(t))
+    geo = M.window_mask(jnp.asarray(uv_q), jnp.asarray(uv_t), jnp.asarray(radius))
+    geo = geo & M.octave_band_mask(jnp.asarray(lvl_q), jnp.asarray(lvl_t), -1, 0)
+    mask = geo & rv[:, None] & cv[None, :]
+    dref = jnp.where(mask, dist, M.BIG)
+    d1_ref = jnp.min(dref, axis=1)
+    ok = np.asarray(d1) <= 256
+    assert np.array_equal(
+        np.asarray(d1)[ok], np.asarray(d1_ref)[ok]
+    ), "pallas kernel disagrees with the XLA matcher"
 
 
 if __name__ == "__main__":

@@ -36,6 +36,7 @@ def fuse_into_keyframe(
     state: MapState,
     kf_slot: jax.Array,
     cam: Camera,
+    pt_mask: jax.Array | None = None,
     *,
     budget: int,
     scale_factor: float,
@@ -45,12 +46,18 @@ def fuse_into_keyframe(
 ) -> MapState:
     """Project map points into keyframe ``kf_slot``; add observations for
     unmatched features and merge duplicate landmarks.
+
+    ``pt_mask`` optionally restricts the candidate set — used by loop
+    correction's SearchAndFuse (LoopClosing.cc:565-590), which fuses only
+    the loop neighbourhood's landmarks into each corrected keyframe.
     """
     K, N, P, O = state.capacity
     Tcw = state.kf_pose[kf_slot]
 
     # --- frustum-select candidate points (not already in this KF) ---------
     observed_here = jnp.any(state.pt_obs_kf == kf_slot, axis=1)
+    if pt_mask is not None:
+        observed_here = observed_here | ~pt_mask
     pc = se3.transform(Tcw, state.pt_pos)
     z = pc[:, 2]
     z_ok = z > 1e-3

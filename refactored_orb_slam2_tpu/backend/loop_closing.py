@@ -65,7 +65,7 @@ def detect(
     if kf_slot < kf_gap:
         return []
     cands, scores = detect_loop_candidates(
-        db, query_bow, kf_slot, jnp.asarray(covis[kf_slot])
+        db, query_bow, kf_slot, jnp.asarray(covis)
     )
     cands = [int(c) for c in np.asarray(cands) if c >= 0]
     if not cands:

@@ -250,18 +250,32 @@ def _lm_step(cam: Camera, prob: BAProblem, poses, points, lam, use_huber,
     else:
         dx_c = _solve_pcg(a, K, n_cg)
 
+    # a singular solve (e.g. a window keyframe losing all observations to
+    # the outlier drop under tiny damping) must yield a rejectable zero
+    # step, not NaNs that survive `0 * NaN` masking
+    dx_c = jnp.where(jnp.isfinite(dx_c), dx_c, 0.0)
+
     # back-substitute points: dx_p = V^-1 (-b_p - W^T dx_c summed over obs)
     dxc_per_obs = dx_c[a["kf_idx"]]                           # (P, O, 6)
     wt_dxc = jnp.einsum("poij,poi->pj", a["Wb"], dxc_per_obs)  # (P, 3)
     dx_p = jnp.einsum("pij,pj->pi", a["V_inv"], -(a["b_p"] + wt_dxc))
     dx_p = dx_p * prob.point_valid[:, None].astype(poses.dtype)
+    dx_p = jnp.where(jnp.isfinite(dx_p), dx_p, 0.0)
 
     new_poses = jax.vmap(lambda d, T: se3.exp(d) @ T)(dx_c, poses)
     new_points = points + dx_p
     return new_poses, new_points, a["err"]
 
 
-def _run_lm(cam, prob, poses, points, n_iters, use_huber, solver, n_cg):
+def lm_chunk(cam, prob, poses, points, lam, *, n_iters, use_huber, solver,
+             n_cg):
+    """Run ``n_iters`` LM iterations carrying the damping state.
+
+    This is the unit of cooperative interruption: the host runs the LM
+    schedule as a sequence of jitted chunks and polls an abort flag between
+    them — the array form of g2o's ``setForceStopFlag`` checked once per
+    iteration (Optimizer.cc:72-73, LocalMapping.cc:70-78).
+    """
     def body(_, state):
         poses, points, lam = state
         new_poses, new_points, err_old = _lm_step(
@@ -276,8 +290,13 @@ def _run_lm(cam, prob, poses, points, n_iters, use_huber, solver, n_cg):
         lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0), 1e-10, 1e8)
         return poses, points, lam
 
-    poses, points, _ = jax.lax.fori_loop(
-        0, n_iters, body, (poses, points, jnp.float32(1e-4))
+    return jax.lax.fori_loop(0, n_iters, body, (poses, points, lam))
+
+
+def _run_lm(cam, prob, poses, points, n_iters, use_huber, solver, n_cg):
+    poses, points, _ = lm_chunk(
+        cam, prob, poses, points, jnp.float32(1e-4), n_iters=n_iters,
+        use_huber=use_huber, solver=solver, n_cg=n_cg,
     )
     return poses, points
 

@@ -49,25 +49,73 @@ class KeyFrameDB:
         return jnp.where(self.valid, s, -1.0)
 
 
+def _group_accumulate(
+    scores: jax.Array,     # (K,) per-keyframe query similarity
+    eligible: jax.Array,   # (K,) candidates allowed to contribute
+    covis: jax.Array,      # (K, K) covisibility weights
+    top_n: int = 10,
+    min_weight: int = 15,
+):
+    """Covisibility-group score accumulation (KeyFrameDatabase.cc:120-193).
+
+    For each eligible keyframe, accumulate the scores of its top-``top_n``
+    covisible neighbors that are themselves eligible (the reference's
+    GetBestCovisibilityKeyFrames(10) group), and record the group's
+    best-scoring member — the keyframe the reference actually returns.
+
+    Returns (acc (K,), best_member (K,), best_member_score (K,)).
+    """
+    K = scores.shape[0]
+    w, nb = jax.lax.top_k(covis, min(top_n, K))                   # (K, n)
+    s_e = jnp.where(eligible, scores, 0.0)
+    nb_scores = jnp.where(w >= min_weight, jnp.take(s_e, nb), 0.0)
+    acc = s_e + jnp.sum(nb_scores, axis=1)
+    member_scores = jnp.concatenate([s_e[:, None], nb_scores], axis=1)
+    member_idx = jnp.concatenate(
+        [jnp.arange(K, dtype=nb.dtype)[:, None], nb], axis=1
+    )
+    best = jnp.argmax(member_scores, axis=1)
+    best_member = jnp.take_along_axis(member_idx, best[:, None], axis=1)[:, 0]
+    best_member_score = jnp.take_along_axis(
+        member_scores, best[:, None], axis=1
+    )[:, 0]
+    return acc, best_member.astype(jnp.int32), best_member_score
+
+
+def _best_of_groups(acc, eligible, best_member, best_member_score, K,
+                    max_candidates):
+    """Keep groups with accumulated score >= 0.75 * best, return each kept
+    group's best member, deduplicated (KeyFrameDatabase.cc:160-193)."""
+    acc_e = jnp.where(eligible, acc, -1.0)
+    best_acc = jnp.max(acc_e)
+    keep_group = eligible & (acc_e >= 0.75 * best_acc) & (acc_e > 0)
+    # scatter-dedupe: per returned keyframe, its best member-score
+    per_kf = jnp.full((K + 1,), -1.0).at[
+        jnp.where(keep_group, best_member, K)
+    ].max(jnp.where(keep_group, best_member_score, -1.0), mode="drop")[:K]
+    top_s, top_i = jax.lax.top_k(per_kf, max_candidates)
+    return jnp.where(top_s > 0, top_i, -1).astype(jnp.int32), top_s
+
+
 def detect_loop_candidates(
     db: KeyFrameDB,
     query_bow: jax.Array,
     query_kf: int,
-    covis_weights: jax.Array,    # (K,) covisibility row of the query KF
+    covis: jax.Array,            # (K, K) covisibility weight matrix
     *,
     max_candidates: int = 8,
 ):
-    """Loop candidates for ``query_kf``.
+    """Loop candidates for ``query_kf`` (KeyFrameDatabase.cc:72-193).
 
     minScore = min similarity between the query and its covisible neighbors
     (LoopClosing.cc:112-129); neighbors themselves and the query are
-    excluded; covisibility-group score accumulation approximated by the
-    per-KF score (group accumulation needs the neighbor scores too — the
-    0.75*best gate dominates in practice).
+    excluded; candidate scores are accumulated over covisibility groups and
+    each group above 0.75 * bestAccScore returns its best member.
     Returns (candidate_slots (C,), scores (C,)) with -1 padding.
     """
+    K = db.bow.shape[0]
     scores = db.scores(query_bow)
-    neighbor = covis_weights > 0
+    neighbor = covis[query_kf] > 0
     min_score_pool = jnp.where(neighbor, scores, jnp.inf)
     min_score = jnp.minimum(jnp.min(min_score_pool), 1.0)
     min_score = jnp.where(jnp.isfinite(min_score), min_score, 0.0)
@@ -75,25 +123,37 @@ def detect_loop_candidates(
     eligible = (
         db.valid
         & ~neighbor
-        & (jnp.arange(scores.shape[0]) != query_kf)
+        & (jnp.arange(K) != query_kf)
         & (scores >= jnp.maximum(min_score, 0.0))
+        & (scores > 0)
     )
-    s = jnp.where(eligible, scores, -1.0)
-    best = jnp.max(s)
-    keep = eligible & (s >= 0.75 * best) & (s > 0)
-    top_s, top_i = jax.lax.top_k(jnp.where(keep, s, -1.0), max_candidates)
-    return jnp.where(top_s > 0, top_i, -1).astype(jnp.int32), top_s
+    acc, best_member, bm_score = _group_accumulate(scores, eligible, covis)
+    return _best_of_groups(
+        acc, eligible, best_member, bm_score, K, max_candidates
+    )
 
 
 def detect_reloc_candidates(
     db: KeyFrameDB,
     query_bow: jax.Array,
+    covis: jax.Array | None = None,
     *,
     max_candidates: int = 5,
 ):
-    """Relocalization candidates for a lost frame (no minScore gate)."""
+    """Relocalization candidates for a lost frame — same group-accumulated
+    shape without the minScore gate (KeyFrameDatabase.cc:195-304)."""
+    K = db.bow.shape[0]
     scores = db.scores(query_bow)
-    best = jnp.max(scores)
-    keep = db.valid & (scores >= 0.75 * best) & (scores > 0)
-    top_s, top_i = jax.lax.top_k(jnp.where(keep, scores, -1.0), max_candidates)
-    return jnp.where(top_s > 0, top_i, -1).astype(jnp.int32), top_s
+    eligible = db.valid & (scores > 0)
+    if covis is None:
+        s = jnp.where(eligible, scores, -1.0)
+        best = jnp.max(s)
+        keep = eligible & (s >= 0.75 * best)
+        top_s, top_i = jax.lax.top_k(
+            jnp.where(keep, s, -1.0), max_candidates
+        )
+        return jnp.where(top_s > 0, top_i, -1).astype(jnp.int32), top_s
+    acc, best_member, bm_score = _group_accumulate(scores, eligible, covis)
+    return _best_of_groups(
+        acc, eligible, best_member, bm_score, K, max_candidates
+    )

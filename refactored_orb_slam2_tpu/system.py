@@ -101,13 +101,32 @@ class SlamSystem:
         self.last_pt_idx: Optional[jnp.ndarray] = None
         self.velocity: Optional[np.ndarray] = None
         self.ref_kf = 0
+        self._ref_matches = 0
         self.last_kf_frame_id = -1
+        self.last_reloc_frame_id = -1
         self.trajectory: list[FrameLog] = []
         self.localization_only = False
         # culled keyframes: slot -> (T_this_to_parent, parent_slot) so the
         # trajectory saver can chain through the spanning tree like the
         # reference (System.cc:372-390)
         self.culled_chain: dict[int, tuple[np.ndarray, int]] = {}
+
+        # observability counters (which tracking paths actually fired)
+        self.stats = {"ref_kf_tracks": 0, "relocs": 0, "reloc_rejects": 0,
+                      "motion_tracks": 0, "gba_aborted": 0, "gba_runs": 0,
+                      "vo_tracks": 0}
+        # localization-only visual-odometry flag (mbVO, Tracking.cc:131)
+        self.mb_vo = False
+        # cooperative BA interruption (mbAbortBA, LocalMapping.cc:70-78):
+        # the tracker sets it; the mapper's chunked LM loops poll it
+        self.abort_ba = False
+        # GBA epoch counter (mnFullBAIdx, LoopClosing.cc:621-631): results
+        # of a GBA started under an older epoch are discarded
+        self.gba_epoch = 0
+        self._stop_gba = False
+        self._gba_thread = None
+        # visibility counters buffered tracker-side in async mode
+        self._pending_vis: list = []
 
         self._build_jits()
         self.mapper = None
@@ -139,6 +158,17 @@ class SlamSystem:
             TK.match_motion_model,
             static_argnames=("th", "nn_max_dist", "nn_ratio"),
         )
+        self._jit_match_ref = jax.jit(
+            TK.match_reference_kf, static_argnames=("nn_ratio", "max_dist")
+        )
+        self._jit_reloc_rescue = jax.jit(
+            TK.match_kf_points_by_projection,
+            static_argnames=("th", "max_dist", "scale_factor", "n_levels"),
+        )
+        self._jit_match_vo = jax.jit(
+            TK.match_vo_points,
+            static_argnames=("th", "nn_max_dist", "nn_ratio"),
+        )
         self._jit_select_local = jax.jit(
             TK.select_local_points,
             static_argnames=("budget", "scale_factor", "n_levels"),
@@ -162,6 +192,8 @@ class SlamSystem:
             LM.fuse_into_keyframe,
             static_argnames=("budget", "scale_factor", "n_levels", "th", "max_dist"),
         )
+        # same program with a candidate-point mask (SearchAndFuse)
+        self._jit_fuse_masked = self._jit_fuse
         self._jit_cull = jax.jit(
             LM.cull_map_points, static_argnames=("recent_window",)
         )
@@ -180,11 +212,127 @@ class SlamSystem:
             BA.run,
             static_argnames=("iters_phase1", "iters_phase2", "solver", "n_cg"),
         )
+        self._jit_lm_chunk = jax.jit(
+            BA.lm_chunk,
+            static_argnames=("n_iters", "use_huber", "solver", "n_cg"),
+        )
+        self._jit_classify_outliers = jax.jit(BA.classify_outliers)
         self._jit_writeback = jax.jit(map_ops.writeback_ba)
         self._jit_gather_ba = jax.jit(
             map_ops.gather_ba_window, static_argnames=("max_kfs", "max_points")
         )
         self._jit_scatter_ba = jax.jit(map_ops.scatter_ba_window)
+        self._build_fused_track()
+
+    def _build_fused_track(self):
+        """One fused XLA program for the entire per-frame OK-state path:
+        frame build -> motion-model matching (with the 2x window retry as a
+        lax.cond) -> pose-only LM -> local-map frustum selection + matching
+        -> second pose LM -> visibility counters -> keyframe-decision
+        statistics.  The host performs exactly ONE dispatch + ONE small
+        device_get per tracked frame — the difference between ~3 fps and
+        real-time through a high-latency dispatch path, and the design
+        SURVEY §7 prescribes ("no host round-trips mid-frame")."""
+        cam = self.cam
+        cfg = self.cfg
+        sensor = self.sensor
+        scale_factors = self.scale_factors
+        inv_sigma2_table = self.inv_sigma2_table
+        n_levels = cfg.orb.n_levels
+        th = 7.0 if sensor == "stereo" else 15.0
+        th_depth_m = float(self.th_depth_m)
+        use_pallas = getattr(self, "use_pallas", False)
+
+        def step(raw_a, raw_b,
+                 last_xy, last_pt, last_octave, last_angle,
+                 last_pose, velocity, have_vel,
+                 ref_kf,
+                 kf_pose, pt_pos, pt_valid, pt_desc, pt_normal,
+                 pt_min_dist, pt_max_dist, pt_visible, pt_found):
+            if sensor == "stereo":
+                frame = build_frame_stereo(raw_a, raw_b, cam, cfg.orb)
+            elif sensor == "rgbd":
+                frame = build_frame_rgbd(
+                    raw_a, raw_b, cam, cfg.orb, cfg.tracking.depth_map_factor
+                )
+            else:
+                frame = build_frame_mono(raw_a, cam, cfg.orb)
+
+            pose0 = jnp.where(have_vel, velocity @ last_pose, last_pose)
+
+            def motion(win):
+                return TK.match_motion_model(
+                    cam, pose0, frame, last_xy, last_pt, last_octave,
+                    pt_pos, pt_valid, pt_desc, last_angle,
+                    th=win, scale_factors=scale_factors, nn_max_dist=75,
+                )
+
+            r1 = motion(th)
+            r = jax.lax.cond(
+                r1.n_matches < 20,
+                lambda _: motion(2 * th),   # 2x widening (Tracking.cc:802)
+                lambda _: r1,
+                operand=None,
+            )
+            inv_s2 = jnp.take(
+                inv_sigma2_table,
+                jnp.clip(frame.octave, 0, len(scale_factors) - 1),
+            )
+            is_st = frame.uvr[:, 2] >= 0
+            valid1 = r.pt_idx >= 0
+            o1 = optimize_pose(
+                cam, last_pose, pt_pos[jnp.clip(r.pt_idx, 0)],
+                frame.uvr, inv_s2, valid1, is_st,
+            )
+            pt1 = jnp.where(o1.inlier, r.pt_idx, -1)
+
+            # local map (TrackLocalMap)
+            P = pt_pos.shape[0]
+            scatter_idx = jnp.where(pt1 >= 0, pt1, P)
+            already = jnp.zeros(P, bool).at[scatter_idx].set(True, mode="drop")
+            local = TK.select_local_points(
+                cam, o1.Tcw, pt_pos, pt_valid, pt_normal,
+                pt_min_dist, pt_max_dist, already,
+                budget=4096, scale_factor=cfg.orb.scale_factor,
+                n_levels=n_levels,
+            )
+            r2 = TK.match_local_points(
+                frame, local, pt_desc, pt1,
+                th=1.0, scale_factors=scale_factors, use_pallas=use_pallas,
+            )
+            valid2 = r2.pt_idx >= 0
+            o2 = optimize_pose(
+                cam, o1.Tcw, pt_pos[jnp.clip(r2.pt_idx, 0)],
+                frame.uvr, inv_s2, valid2, is_st,
+            )
+            pt2 = jnp.where(o2.inlier, r2.pt_idx, -1)
+
+            # visibility / found statistics (sync-mode map update)
+            vis_idx = jnp.where(local.idx >= 0, local.idx, P)
+            new_visible = pt_visible.at[vis_idx].add(1, mode="drop")
+            fnd_idx = jnp.where(pt2 >= 0, pt2, P)
+            new_found = pt_found.at[fnd_idx].add(1, mode="drop")
+
+            # keyframe-decision statistics (NeedNewKeyFrame close counts,
+            # Tracking.cc:911-927)
+            close = (frame.depth > 0) & (frame.depth < th_depth_m) & frame.valid
+            tracked_close = jnp.sum((close & (pt2 >= 0)).astype(jnp.int32))
+            untracked_close = jnp.sum((close & (pt2 < 0)).astype(jnp.int32))
+
+            # relative-pose log entry (System.cc:372-390 semantics)
+            Tcr = o2.Tcw @ se3.inv(kf_pose[ref_kf])
+
+            scalars = dict(
+                n_motion=r.n_matches,
+                n_inl1=o1.n_inliers,
+                n_map_inliers=o2.n_inliers,
+                tracked_close=tracked_close,
+                untracked_close=untracked_close,
+            )
+            return (frame, o2.Tcw, Tcr, pt2, local.idx,
+                    new_visible, new_found, scalars)
+
+        self._jit_fused_track = jax.jit(step)
 
     # -------------------------------------------------------- facade control
     def activate_localization_mode(self):
@@ -207,28 +355,35 @@ class SlamSystem:
         self.last_pt_idx = None
         self.velocity = None
         self.ref_kf = 0
+        self._ref_matches = 0
         self.last_kf_frame_id = -1
+        self.last_reloc_frame_id = -1
         self.trajectory = []
         self.culled_chain = {}
         self.vocab = None
         self.db = None
         self.loop_state = LC.LoopState()
         self._init_ref = None
+        self._pending_vis = []
+        self.abort_ba = False
+        self.mb_vo = False
+        self._stop_gba = True
+        self.gba_epoch += 1
 
     # ------------------------------------------------------------- tracking
     def track_stereo(self, img_l, img_r, timestamp: float) -> Optional[np.ndarray]:
-        frame = self._jit_frame(jnp.asarray(img_l), jnp.asarray(img_r))
-        return self._track(frame, timestamp)
+        return self._track_entry(
+            jnp.asarray(img_l), jnp.asarray(img_r), timestamp
+        )
 
     def track_rgbd(self, img, depth, timestamp: float) -> Optional[np.ndarray]:
-        frame = self._jit_frame(jnp.asarray(img), jnp.asarray(depth))
-        return self._track(frame, timestamp)
+        return self._track_entry(jnp.asarray(img), jnp.asarray(depth), timestamp)
 
     def track_monocular(self, img, timestamp: float) -> Optional[np.ndarray]:
-        frame = self._jit_frame(jnp.asarray(img))
-        return self._track(frame, timestamp)
+        img = jnp.asarray(img)
+        return self._track_entry(img, img, timestamp)
 
-    def _track(self, frame: FrameData, timestamp: float) -> Optional[np.ndarray]:
+    def _track_entry(self, raw_a, raw_b, timestamp: float):
         self.frame_id += 1
         jump = getattr(self, "_pending_pose_jump", None)
         if jump is not None:
@@ -236,6 +391,91 @@ class SlamSystem:
             self.last_pose = self.map.kf_pose[jump]
             self.velocity = None
             self._pending_pose_jump = None
+        if self.state == TrackState.OK and not self.localization_only:
+            # steady-state: the whole per-frame path is ONE fused program
+            return self._track_fused(raw_a, raw_b, timestamp)
+        # init / lost / localization-only paths run the decomposed kernels
+        if self.sensor == "monocular":
+            frame = self._jit_frame(raw_a)
+        else:
+            frame = self._jit_frame(raw_a, raw_b)
+        return self._track(frame, timestamp)
+
+    def _track_fused(self, raw_a, raw_b, timestamp: float):
+        """Steady-state tracked frame: one dispatch, one device_get."""
+        last = self.last_frame
+        have_vel = self.velocity is not None
+        vel = (
+            jnp.asarray(self.velocity) if have_vel
+            else jnp.eye(4, dtype=jnp.float32)
+        )
+        m = self.map
+        frame, pose2, Tcr, pt2, local_idx, nvis, nfnd, sc = (
+            self._jit_fused_track(
+                raw_a, raw_b,
+                last.xy, self.last_pt_idx, last.octave, last.angle,
+                self.last_pose, vel, jnp.asarray(have_vel),
+                jnp.int32(self.ref_kf), m.kf_pose,
+                m.pt_pos, m.pt_valid, m.pt_desc, m.pt_normal,
+                m.pt_min_dist, m.pt_max_dist, m.pt_visible, m.pt_found,
+            )
+        )
+        pose_np, Tcr_np, s = jax.device_get((pose2, Tcr, sc))
+        ok_motion = (
+            int(s["n_motion"]) >= 20
+            and int(s["n_inl1"]) >= self.cfg.tracking.min_inliers_track
+        )
+        if ok_motion:
+            self.stats["motion_tracks"] += 1
+            pose, pt_idx = pose2, pt2
+            n_map_inliers = int(s["n_map_inliers"])
+            if self.mapper is None:
+                self.map = self.map._replace(pt_visible=nvis, pt_found=nfnd)
+            else:
+                self._pending_vis.append((local_idx, pt_idx))
+                if len(self._pending_vis) > 64:
+                    self._pending_vis.pop(0)
+            close_counts = (int(s["tracked_close"]), int(s["untracked_close"]))
+        else:
+            # TrackReferenceKeyFrame fallback + decomposed local map
+            ok, pose, pt_idx = self._track_reference_keyframe(frame)
+            if not ok:
+                self.state = TrackState.LOST
+                self._log_frame(timestamp, lost=True)
+                return None
+            self.stats["ref_kf_tracks"] += 1
+            pose, pt_idx, n_mi = self._track_local_map(frame, pose, pt_idx)
+            n_map_inliers = int(n_mi)
+            close_counts = None
+            Tcr_np = None
+            pose_np = None
+
+        recent_reloc = (
+            self.last_reloc_frame_id >= 0
+            and self.frame_id - self.last_reloc_frame_id
+            < self.cfg.tracking.max_frames_between_kf
+        )
+        local_bar = (
+            self.cfg.tracking.min_inliers_local_map_reloc
+            if recent_reloc else self.cfg.tracking.min_inliers_local_map
+        )
+        if n_map_inliers < local_bar:
+            self.state = TrackState.LOST
+            self._log_frame(timestamp, lost=True)
+            return None
+
+        self.velocity = pose @ se3.inv(self.last_pose)
+        self.last_pose = pose
+        self.last_frame = frame
+        self.last_pt_idx = pt_idx
+        self.state = TrackState.OK
+        if self._need_new_keyframe(frame, pt_idx, n_map_inliers, close_counts):
+            self._create_keyframe(frame, pose, pt_idx)
+            Tcr_np = None   # reference keyframe changed; recompute
+        self._log_frame(timestamp, lost=False, Tcr=Tcr_np)
+        return np.asarray(pose) if pose_np is None else pose_np
+
+    def _track(self, frame: FrameData, timestamp: float) -> Optional[np.ndarray]:
         if self.state == TrackState.NOT_INITIALIZED:
             if self.sensor == "monocular":
                 ok = self._initialize_mono(frame)
@@ -247,74 +487,129 @@ class SlamSystem:
                 return np.asarray(self.last_pose)
             return None
 
+        relocalized = False
         if self.state == TrackState.LOST:
             # auto-reset when lost right after initialization
             # (Tracking.cc:421-428)
             if self.n_kf <= 5 and not self.localization_only:
                 self.reset()
                 return None
-            ok_reloc, pose = self._relocalize(frame)
+            ok_reloc, pose, pt_idx = self._relocalize(frame)
             if not ok_reloc:
                 self._log_frame(timestamp, lost=True)
                 return None
-            # re-anchor and continue with local-map tracking below
+            # re-anchor; reference goes straight to TrackLocalMap after a
+            # successful relocalization (Tracking.cc:291, 335-346)
+            relocalized = True
             self.velocity = None
-            self.last_pose = pose
-            self.last_frame = frame
-            self.last_pt_idx = jnp.full((frame.n_slots,), -1, jnp.int32)
+            self.last_reloc_frame_id = self.frame_id
 
-        # --- pose prediction + motion-model tracking ----------------------
-        pose0 = (
-            jnp.asarray(self.velocity) @ self.last_pose
-            if self.velocity is not None
-            else self.last_pose
-        )
-        th = 7.0 if self.sensor == "stereo" else 15.0
-        pt_idx, n_m = self._motion_track(frame, pose0, th)
-        if int(n_m) < 20:  # widen window 2x (Tracking.cc:802)
-            pt_idx, n_m = self._motion_track(frame, pose0, 2 * th)
+        if not relocalized and self.localization_only and self.mb_vo:
+            # VO mode: the map is out of view; try relocalizing every frame
+            # (Tracking.cc:312-361)
+            ok_r, pose_r, pt_r = self._relocalize(frame)
+            if ok_r:
+                relocalized = True
+                pose, pt_idx = pose_r, pt_r
+                self.mb_vo = False
+                self.velocity = None
+                self.last_reloc_frame_id = self.frame_id
 
-        pose = pose0
-        ok = False
-        if int(n_m) >= 20:
-            # NOTE deliberate divergence from the reference: the velocity
-            # prediction seeds only the *matching window*; the optimizer
-            # starts from the last pose.  Initializing LM at the
-            # extrapolated pose makes the outlier-reclassification rounds
-            # bistable — the prediction-consistent fixed point amplifies
-            # drift exponentially (gain 2e_t - e_{t-1}); a neutral start
-            # always converges to the accurate consensus (50x better ATE
-            # on synthetic sequences).
-            pose, pt_idx, n_inliers = self._pose_opt_against_map(
-                frame, self.last_pose, pt_idx
+        vo_n_tot = 0
+        if not relocalized:
+            # --- pose prediction + motion-model tracking -------------------
+            pose0 = (
+                jnp.asarray(self.velocity) @ self.last_pose
+                if self.velocity is not None
+                else self.last_pose
             )
-            ok = int(n_inliers) >= self.cfg.tracking.min_inliers_track
+            th = 7.0 if self.sensor == "stereo" else 15.0
+            pt_idx, n_m = self._motion_track(frame, pose0, th)
+            if int(n_m) < 20:  # widen window 2x (Tracking.cc:802)
+                pt_idx, n_m = self._motion_track(frame, pose0, 2 * th)
 
-        if not ok:
-            # fall back: track against reference keyframe features (BoW-free:
-            # plain descriptor matching with a loose window)
-            pt_idx, n_m = self._motion_track(frame, self.last_pose, 4 * th)
-            if int(n_m) >= 15:
-                pose, pt_idx, n_inl = self._pose_opt_against_map(
+            pose = pose0
+            ok = False
+            if self.localization_only and self.sensor != "monocular":
+                # localization-only tracking always augments the motion
+                # model with temporal VO points from last-frame depth
+                # (UpdateLastFrame, Tracking.cc:724-778); mbVO = map matches
+                # collapsed (Tracking.cc:299-361)
+                pose, pt_idx, n_map, n_tot = self._track_vo(
+                    frame, pose0, pt_idx, th
+                )
+                vo_n_tot = n_tot
+                ok = n_tot > 20
+                self.mb_vo = ok and n_map < 10
+                if self.mb_vo:
+                    self.stats["vo_tracks"] += 1
+            elif int(n_m) >= 20:
+                # NOTE deliberate divergence from the reference: the velocity
+                # prediction seeds only the *matching window*; the optimizer
+                # starts from the last pose.  Initializing LM at the
+                # extrapolated pose makes the outlier-reclassification rounds
+                # bistable — the prediction-consistent fixed point amplifies
+                # drift exponentially (gain 2e_t - e_{t-1}); a neutral start
+                # always converges to the accurate consensus (50x better ATE
+                # on synthetic sequences).
+                pose, pt_idx, n_inliers = self._pose_opt_against_map(
                     frame, self.last_pose, pt_idx
                 )
-                ok = int(n_inl) >= self.cfg.tracking.min_inliers_track
+                ok = int(n_inliers) >= self.cfg.tracking.min_inliers_track
+                if ok:
+                    self.stats["motion_tracks"] += 1
 
-        if not ok:
-            self.state = TrackState.LOST
-            self._log_frame(timestamp, lost=True)
-            return None
+            if not ok:
+                # TrackReferenceKeyFrame (Tracking.cc:681-719): after motion-
+                # model failure, match against the reference keyframe's
+                # landmark-bearing features and optimize from the last pose.
+                ok2, pose2, pt2 = self._track_reference_keyframe(frame)
+                if ok2:
+                    ok, pose, pt_idx = ok2, pose2, pt2
+                    self.stats["ref_kf_tracks"] += 1
+                    self.mb_vo = False
+
+            if not ok:
+                self.state = TrackState.LOST
+                self._log_frame(timestamp, lost=True)
+                return None
+
+        if self.localization_only and self.mb_vo:
+            # pure-VO frame: no local map in view (Tracking.cc:330-346)
+            return self._finish_vo_frame(frame, pose, pt_idx, timestamp)
 
         # --- track local map ----------------------------------------------
         pose, pt_idx, n_map_inliers = self._track_local_map(frame, pose, pt_idx)
-        if int(n_map_inliers) < self.cfg.tracking.min_inliers_local_map:
+        # stricter bar right after a relocalization (Tracking.cc:870-877)
+        recent_reloc = (
+            self.last_reloc_frame_id >= 0
+            and self.frame_id - self.last_reloc_frame_id
+            < self.cfg.tracking.max_frames_between_kf
+        )
+        local_bar = (
+            self.cfg.tracking.min_inliers_local_map_reloc
+            if recent_reloc else self.cfg.tracking.min_inliers_local_map
+        )
+        if int(n_map_inliers) < local_bar:
+            if self.localization_only and vo_n_tot > 20:
+                # divergence from the reference (which goes LOST here,
+                # Tracking.cc:352-361): with the map frozen and frame-to-
+                # frame VO still strong, degrade to VO instead of losing —
+                # the map cannot be corrupted in localization mode, and VO
+                # keeps the trajectory through the map's boundary zone
+                self.mb_vo = True
+                self.stats["vo_tracks"] += 1
+                return self._finish_vo_frame(frame, pose, pt_idx, timestamp)
             self.state = TrackState.LOST
             self._log_frame(timestamp, lost=True)
             return None
 
         # --- bookkeeping ---------------------------------------------------
-        new_vel = np.asarray(pose @ se3.inv(self.last_pose))
-        self.velocity = new_vel
+        # after relocalization there is no previous pose to difference
+        # against (Tracking.cc:376-383 skips velocity on empty last pose)
+        self.velocity = (
+            None if relocalized else np.asarray(pose @ se3.inv(self.last_pose))
+        )
         self.last_pose = pose
         self.last_frame = frame
         self.last_pt_idx = pt_idx
@@ -327,6 +622,82 @@ class SlamSystem:
         return np.asarray(pose)
 
     # ----------------------------------------------------------- sub-steps
+
+    def _set_ref_kf(self, kf_slot: int):
+        """Update the reference keyframe and its cached landmark count
+        (used by NeedNewKeyFrame without a per-frame device sync)."""
+        self.ref_kf = int(kf_slot)
+        self._ref_matches = int(jnp.sum(
+            ((self.map.kf_point_idx[self.ref_kf] >= 0)
+             & self.map.kf_feat_valid[self.ref_kf]).astype(jnp.int32)
+        ))
+
+    def _finish_vo_frame(self, frame, pose, pt_idx, timestamp):
+        """Bookkeeping for a localization-only VO frame (no local map)."""
+        self.velocity = np.asarray(pose @ se3.inv(self.last_pose))
+        self.last_pose = pose
+        self.last_frame = frame
+        self.last_pt_idx = pt_idx
+        self.state = TrackState.OK
+        self._log_frame(timestamp, lost=False)
+        return np.asarray(pose)
+
+    def _track_reference_keyframe(self, frame):
+        """TrackReferenceKeyFrame (Tracking.cc:681-719): descriptor-match the
+        current frame against the reference keyframe's landmark features,
+        pose-optimize from the last pose, require >= 10 map inliers.
+
+        Returns (ok, pose, pt_idx)."""
+        res = self._jit_match_ref(
+            frame,
+            self.map.kf_desc[self.ref_kf],
+            self.map.kf_point_idx[self.ref_kf],
+            self.map.kf_feat_valid[self.ref_kf],
+            self.map.kf_angle[self.ref_kf],
+            self.map.pt_valid,
+            nn_ratio=self.cfg.matcher.nn_ratio_ref_kf,
+        )
+        if int(res.n_matches) < self.cfg.tracking.min_matches_ref_kf:
+            return False, None, None
+        pose, pt_idx, n_inl = self._pose_opt_against_map(
+            frame, self.last_pose, res.pt_idx
+        )
+        ok = int(n_inl) >= self.cfg.tracking.min_inliers_track
+        return ok, pose, pt_idx
+
+    def _track_vo(self, frame, pose0, pt_idx, th):
+        """Combine surviving map matches with temporal VO points from the
+        last frame's depth, then pose-optimize over the union.  Returns
+        (pose, map_pt_idx, n_map_inliers, n_total_inliers)."""
+        last = self.last_frame
+        res = self._jit_match_vo(
+            self.cam, pose0, frame,
+            last.xy, last.depth, last.valid, self.last_pt_idx,
+            last.octave, last.angle, last.desc, self.last_pose,
+            th=float(2 * th), scale_factors=self.scale_factors,
+        )
+        map_valid = (pt_idx >= 0) & jnp.take(
+            self.map.pt_valid, jnp.clip(pt_idx, 0)
+        )
+        pw = jnp.where(
+            map_valid[:, None],
+            self.map.pt_pos[jnp.clip(pt_idx, 0)],
+            res.pw,
+        )
+        valid = map_valid | res.mask
+        inv_s2 = jnp.take(
+            self.inv_sigma2_table,
+            jnp.clip(frame.octave, 0, len(self.scale_factors) - 1),
+        )
+        is_stereo = frame.uvr[:, 2] >= 0
+        result = self._jit_pose_opt(
+            self.cam, self.last_pose, pw, frame.uvr, inv_s2, valid, is_stereo
+        )
+        n_map = int(jnp.sum(result.inlier & map_valid))
+        n_tot = int(result.n_inliers)
+        new_pt = jnp.where(result.inlier & map_valid, pt_idx, -1)
+        return result.Tcw, new_pt, n_map, n_tot
+
     def _motion_track(self, frame, pose0, th):
         res = self._jit_motion_match(
             self.cam, pose0, frame,
@@ -369,8 +740,15 @@ class SlamSystem:
             use_pallas=self.use_pallas,
         )
         pose, pt_idx, n_inl = self._pose_opt_against_map(frame, pose, res.pt_idx)
-        # visibility/found statistics feed MapPointCulling
-        self.map = self._jit_visibility(self.map, local.idx, pt_idx)
+        # visibility/found statistics feed MapPointCulling.  In async mode
+        # the tracker must not write the map (the mapper owns it); buffer
+        # the counters and flush them at keyframe insertion.
+        if self.mapper is None:
+            self.map = self._jit_visibility(self.map, local.idx, pt_idx)
+        else:
+            self._pending_vis.append((local.idx, pt_idx))
+            if len(self._pending_vis) > 64:
+                self._pending_vis.pop(0)
         return pose, pt_idx, n_inl
 
     # ------------------------------------------------------- initialization
@@ -409,7 +787,7 @@ class SlamSystem:
         self.last_pose = pose
         self.last_frame = frame
         self.last_pt_idx = self.map.kf_point_idx[kf_slot]
-        self.ref_kf = kf_slot
+        self._set_ref_kf(kf_slot)
         self.last_kf_frame_id = self.frame_id
         return True
 
@@ -530,14 +908,17 @@ class SlamSystem:
         self.last_pose = self.map.kf_pose[kf1]
         self.last_frame = frame
         self.last_pt_idx = self.map.kf_point_idx[kf1]
-        self.ref_kf = kf1
+        self._set_ref_kf(kf1)
         self.last_kf_frame_id = self.frame_id
         self._init_ref = None
         return True
 
     # ----------------------------------------------------------- keyframes
-    def _need_new_keyframe(self, frame, pt_idx, n_inliers: int) -> bool:
-        """Adapted NeedNewKeyFrame (Tracking.cc:880-962)."""
+    def _need_new_keyframe(self, frame, pt_idx, n_inliers: int,
+                           close_counts=None) -> bool:
+        """Adapted NeedNewKeyFrame (Tracking.cc:880-962).  ``close_counts``
+        = (tracked_close, untracked_close) precomputed by the fused tracking
+        program; computed here otherwise."""
         if self.n_kf >= self.cfg.map.max_keyframes - 2:
             telemetry.warn(
                 "kf_capacity",
@@ -546,34 +927,45 @@ class SlamSystem:
                 "MapConfig.max_keyframes",
             )
             return False
-        # reference gates insertion on local mapping being idle
-        # (Tracking.cc:902 bLocalMappingIdle)
-        if self.mapper is not None and not self.mapper.idle:
-            return False
+        mapper_idle = self.mapper is None or self.mapper.idle
         frames_since = self.frame_id - self.last_kf_frame_id
-        # reference-match count = points in ref KF (proxy: current inliers vs
-        # ref KF's point count)
-        ref_matches = int(
-            jnp.sum((self.map.kf_point_idx[self.ref_kf] >= 0).astype(jnp.int32))
-        )
+        # reference-match count = points in ref KF, cached host-side at the
+        # moments the reference keyframe changes (avoids a per-frame sync)
+        ref_matches = self._ref_matches
         th_ratio = 0.75 if self.sensor != "monocular" else 0.9
 
         need_close = False
         if self.sensor != "monocular":
-            d = np.asarray(frame.depth)
-            pid = np.asarray(pt_idx)
-            close = (d > 0) & (d < self.th_depth_m)
-            tracked_close = int((close & (pid >= 0)).sum())
-            untracked_close = int((close & (pid < 0)).sum())
+            if close_counts is not None:
+                tracked_close, untracked_close = close_counts
+            else:
+                d = np.asarray(frame.depth)
+                pid = np.asarray(pt_idx)
+                close = (d > 0) & (d < self.th_depth_m)
+                tracked_close = int((close & (pid >= 0)).sum())
+                untracked_close = int((close & (pid < 0)).sum())
             need_close = tracked_close < 100 and untracked_close > 70
 
+        # c1a/c1b/c1c/c2 exactly as Tracking.cc:929-943: c1b additionally
+        # requires local mapping to be idle
         c1a = frames_since >= self.cfg.tracking.max_frames_between_kf
-        c1b = frames_since >= self.cfg.tracking.min_frames_between_kf
+        c1b = (
+            frames_since >= self.cfg.tracking.min_frames_between_kf
+            and mapper_idle
+        )
         c1c = self.sensor != "monocular" and (
             n_inliers < ref_matches * 0.25 or need_close
         )
         c2 = (n_inliers < ref_matches * th_ratio or need_close) and n_inliers > 15
-        return bool((c1a or c1b or c1c) and c2)
+        if not ((c1a or c1b or c1c) and c2):
+            return False
+        if mapper_idle:
+            return True
+        # mapper busy: interrupt its local BA (Tracking.cc:951 InterruptBA)
+        # and, for stereo/RGB-D, insert anyway while the queue is short
+        # (Tracking.cc:952-959)
+        self.abort_ba = True
+        return self.sensor != "monocular" and self.mapper.queue_len() < 3
 
     def _insert_keyframe_arrays(self, frame, pose, matched_pt, parent) -> int:
         kf_slot = self.n_kf
@@ -587,21 +979,50 @@ class SlamSystem:
         return kf_slot
 
     def _register_keyframe_bow(self, kf_slot, frame):
-        """Train the vocabulary lazily on the first keyframe's descriptors,
-        then add every keyframe's tf-idf signature to the database."""
-        from .place.vocab import train_vocabulary
+        """Ensure the vocabulary exists, then add the keyframe's tf-idf
+        signature to the database.
+
+        Vocabulary resolution order (System.cc:74-121 loads the corpus-
+        trained ORBvoc asset; the reference cannot run without it):
+        1. an explicit ``cfg.vocab_path``;
+        2. the packaged corpus-trained asset (assets/vocab.npz, produced by
+           scripts/train_vocab.py on rendered multi-scene corpora);
+        3. lazy fallback: train a small vocabulary on the first keyframe
+           (degraded recall — only hit when the asset is missing).
+        """
+        from .place.vocab import load_vocabulary, train_vocabulary
         from .place.keyframe_db import KeyFrameDB
 
         if self.vocab is None:
-            descs = np.asarray(frame.desc)[np.asarray(frame.valid)]
-            n_words = min(256, max(32, len(descs) // 4))
-            self.vocab = train_vocabulary(descs, n_words=n_words, iters=4)
+            import os
+
+            path = self.cfg.vocab_path or os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "assets", "vocab.npz",
+            )
+            if os.path.exists(path):
+                self.vocab = load_vocabulary(path)
+            else:
+                telemetry.warn(
+                    "vocab_fallback",
+                    f"vocabulary asset not found at {path} — training a "
+                    "one-frame fallback vocabulary (degraded loop recall)",
+                )
+                descs = np.asarray(frame.desc)[np.asarray(frame.valid)]
+                n_words = min(256, max(32, len(descs) // 4))
+                self.vocab = train_vocabulary(descs, n_words=n_words, iters=4)
             self.db = KeyFrameDB(self.vocab, self.cfg.map.max_keyframes)
         self.db.add(kf_slot, frame.desc, frame.valid)
 
-    def _create_keyframe(self, frame, pose, pt_idx):
+    def _flush_pending_vis(self):
+        for vis, fnd in self._pending_vis:
+            self.map = self._jit_visibility(self.map, vis, fnd)
+        self._pending_vis.clear()
+
+    def _insert_kf_with_points(self, frame, pose, pt_idx) -> int:
         kf_slot = self._insert_keyframe_arrays(frame, pose, pt_idx, parent=self.ref_kf)
         # stereo/RGB-D: create close points for untracked features
+        # (CreateNewKeyFrame, Tracking.cc:976-1023)
         if self.sensor != "monocular":
             cap = self.map.pt_pos.shape[0]
             if self.n_pt >= cap - 128:
@@ -617,28 +1038,46 @@ class SlamSystem:
                     pt_base=jnp.int32(self.n_pt), max_new=128,
                 )
                 self.n_pt += int(n_new)
-        self.ref_kf = kf_slot
+        return kf_slot
+
+    def _create_keyframe(self, frame, pose, pt_idx):
+        if self.mapper is not None:
+            # take the map-writer lock for the (cheap) insertion; the
+            # mapping worker's in-flight local BA was already interrupted
+            # by _need_new_keyframe setting abort_ba
+            with self.mapper.paused():
+                self._flush_pending_vis()
+                kf_slot = self._insert_kf_with_points(frame, pose, pt_idx)
+        else:
+            kf_slot = self._insert_kf_with_points(frame, pose, pt_idx)
+        self._set_ref_kf(kf_slot)
         self.last_kf_frame_id = self.frame_id
         self.last_pt_idx = self.map.kf_point_idx[kf_slot]
         if self.mapper is not None:
             self.mapper.submit(kf_slot)
         else:
             self._mapping_pipeline(kf_slot)
+            # fusion may have merged landmarks the tracker references;
+            # re-read the keyframe's (remapped) associations so motion
+            # matching keeps its rows alive (MapPoint::Replace semantics
+            # for the tracker's pointers)
+            self.last_pt_idx = self.map.kf_point_idx[kf_slot]
 
     def _mapping_pipeline(self, kf_slot: int):
-        """Keyframe-rate mapping work (the LocalMapping::Run body +
-        LoopClosing::Run, LocalMapping.cc:44-104): triangulate, fuse, cull,
-        refresh statistics, local BA, keyframe culling, loop closing.
-        Runs synchronously or on the AsyncMapper thread."""
+        """Synchronous keyframe-rate pipeline: mapping core + loop closing
+        (the async path splits these between two workers)."""
+        self._mapping_core(kf_slot)
+        if self.loop_closing_enabled:
+            self._try_close_loop(kf_slot)
+
+    def _mapping_core(self, kf_slot: int):
+        """The LocalMapping::Run body (LocalMapping.cc:44-104): triangulate,
+        fuse, cull, refresh statistics, local BA, keyframe culling."""
         # triangulate new landmarks with covisible neighbours
         # (CreateNewMapPoints; mono's only source of new points)
         self._triangulate_new_points(kf_slot)
         # fuse duplicates (SearchInNeighbors) and cull weak points
-        self.map = self._jit_fuse(
-            self.map, jnp.int32(kf_slot), self.cam,
-            budget=2048, scale_factor=self.cfg.orb.scale_factor,
-            n_levels=self.cfg.orb.n_levels,
-        )
+        self._fuse_neighbors(kf_slot)
         self.map = self._jit_cull(self.map, jnp.int32(kf_slot))
         self.map = self._jit_update_stats(
             self.map, scale_factor=self.cfg.orb.scale_factor,
@@ -646,12 +1085,68 @@ class SlamSystem:
         )
         self._local_ba(kf_slot)
         self._cull_keyframes(kf_slot)
-        if self.loop_closing_enabled:
-            self._try_close_loop(kf_slot)
 
-    def _triangulate_new_points(self, kf_slot: int, n_neighbors: int = 6):
+    def _fuse_neighbors(self, kf_slot: int):
+        """SearchInNeighbors (LocalMapping.cc:425-509): both-direction
+        landmark fusion over the 1st ring (10 covisible neighbors; 20 for
+        monocular) plus each neighbor's 5-neighbor 2nd ring — the current
+        keyframe's landmarks are fused into every target, then all targets'
+        landmarks into the current keyframe."""
         if self.n_kf < 2:
             return
+        covis = np.asarray(self._jit_covis(self.map))
+        kf_valid = np.asarray(self.map.kf_valid)
+        nn = self.cfg.map.fuse_neighbors or (
+            20 if self.sensor == "monocular" else 10
+        )
+        row = covis[kf_slot]
+        first = [int(i) for i in np.argsort(-row)[:nn]
+                 if row[i] > 0 and kf_valid[i]]
+        targets = list(first)
+        seen = set(first) | {kf_slot}
+        for i in first:
+            r2 = covis[i]
+            for j in np.argsort(-r2)[:5]:
+                j = int(j)
+                if r2[j] > 0 and j not in seen and kf_valid[j]:
+                    targets.append(j)
+                    seen.add(j)
+        if not targets:
+            return
+        K, N, P, O = self.map.capacity
+        # direction 1: this keyframe's landmarks into each target
+        cur_pt = self.map.kf_point_idx[kf_slot]
+        scatter = jnp.where(cur_pt >= 0, cur_pt, P)
+        cur_mask = jnp.zeros(P, bool).at[scatter].set(True, mode="drop")
+        cur_mask = cur_mask & self.map.pt_valid
+        for t in targets:
+            self.map = self._jit_fuse_masked(
+                self.map, jnp.int32(t), self.cam, cur_mask,
+                budget=1024, scale_factor=self.cfg.orb.scale_factor,
+                n_levels=self.cfg.orb.n_levels,
+            )
+        # direction 2: all targets' landmarks into this keyframe
+        tgt_kf = np.zeros(K, bool)
+        tgt_kf[targets] = True
+        obs_in_tgt = jnp.take(
+            jnp.asarray(tgt_kf), jnp.clip(self.map.pt_obs_kf, 0)
+        ) & (self.map.pt_obs_kf >= 0)
+        tgt_mask = self.map.pt_valid & jnp.any(obs_in_tgt, axis=1)
+        self.map = self._jit_fuse_masked(
+            self.map, jnp.int32(kf_slot), self.cam, tgt_mask,
+            budget=2048, scale_factor=self.cfg.orb.scale_factor,
+            n_levels=self.cfg.orb.n_levels,
+        )
+
+    def _triangulate_new_points(self, kf_slot: int, n_neighbors: int = 0):
+        if self.n_kf < 2:
+            return
+        if not n_neighbors:
+            # nn=10 covisible neighbors, 20 for monocular
+            # (CreateNewMapPoints, LocalMapping.cc:189-192)
+            n_neighbors = self.cfg.map.triangulate_neighbors or (
+                20 if self.sensor == "monocular" else 10
+            )
         covis = self._jit_covis(self.map)
         row = np.asarray(covis[kf_slot])
         neighbors = np.argsort(-row)[:n_neighbors]
@@ -678,10 +1173,61 @@ class SlamSystem:
             self.n_pt += int(n_new)
 
     # ------------------------------------------------------------ local BA
-    def _windowed_ba(self, window_mask, fixed_mask, iters1: int, iters2: int):
+    def _run_ba_chunked(
+        self, prob, iters1: int, iters2: int, *,
+        solver: str = "dense", n_cg: int = 0, chunk: int = 5,
+        should_stop=None,
+    ):
+        """Run the two-phase LM schedule as host-polled jitted chunks.
+
+        Cooperative interruption between chunks reproduces g2o's force-stop
+        flag semantics: local BA keeps partial progress when aborted
+        (Optimizer.cc:650-694 still writes back after ``mbAbortBA``), the
+        GBA caller discards on abort (LoopClosing.cc:631).  Returns
+        (BAResult, stopped_early).
+        """
+        cam = self.cam
+        poses, points, lam = prob.kf_poses, prob.points, jnp.float32(1e-4)
+        stopped = False
+
+        def phase(n, poses, points, lam):
+            nonlocal stopped
+            done = 0
+            while done < n and not stopped:
+                k = min(chunk, n - done)
+                poses, points, lam = self._jit_lm_chunk(
+                    cam, prob, poses, points, lam,
+                    n_iters=k, use_huber=True, solver=solver, n_cg=n_cg,
+                )
+                done += k
+                if should_stop is not None and done < n and should_stop():
+                    stopped = True
+            return poses, points, lam
+
+        poses, points, lam = phase(iters1, poses, points, lam)
+        if iters2 > 0 and not stopped:
+            new_valid = self._jit_classify_outliers(cam, prob, poses, points)
+            prob = prob._replace(obs_valid=new_valid)
+            # fresh damping for the re-classified problem, like g2o
+            # re-initializing lambda per optimize() call (BA.run does the
+            # same between phases)
+            poses, points, lam = phase(
+                iters2, poses, points, jnp.float32(1e-4)
+            )
+        final_valid = self._jit_classify_outliers(cam, prob, poses, points)
+        result = BA.BAResult(
+            kf_poses=poses, points=points, obs_valid=final_valid,
+            total_chi2=jnp.float32(0.0),
+        )
+        return result, stopped
+
+    def _windowed_ba(self, window_mask, fixed_mask, iters1: int, iters2: int,
+                     abortable: bool = False):
         """Compact-window BA: gather the covisibility subgraph into small
         static arrays, dense Schur solve, scatter results back.  Cost scales
-        with the window, not with map capacity."""
+        with the window, not with map capacity.  ``abortable``: poll the
+        tracker's ``abort_ba`` flag between LM chunks (mbAbortBA) — partial
+        progress is still written back, as in the reference."""
         mcfg = self.cfg.map
         prob, kf_sel, pt_sel, n_pt_in = self._jit_gather_ba(
             self.map, window_mask, fixed_mask, self.inv_sigma2_table,
@@ -694,8 +1240,10 @@ class SlamSystem:
                 f"{mcfg.local_ba_max_points} optimized (raise "
                 f"MapConfig.local_ba_max_points)",
             )
-        result = self._jit_run_ba(
-            self.cam, prob, iters_phase1=iters1, iters_phase2=iters2
+        should_stop = (lambda: self.abort_ba) if abortable else None
+        result, _ = self._run_ba_chunked(
+            prob, iters1, iters2, solver="dense", chunk=5,
+            should_stop=should_stop,
         )
         self.map = self._jit_scatter_ba(
             self.map, prob, kf_sel, pt_sel,
@@ -706,7 +1254,8 @@ class SlamSystem:
         """Full-map BA with the matrix-free Schur-PCG solver
         (Optimizer::GlobalBundleAdjustemnt, Optimizer.cc:43-50): no window
         compaction, memory stays O(P*O) — the (K,K) Schur fill-in is never
-        materialized."""
+        materialized.  Synchronous; the abortable epoch-guarded variant is
+        ``_launch_gba``."""
         prob = self._jit_build_ba(
             self.map, window_mask, fixed_mask, self.inv_sigma2_table
         )
@@ -719,7 +1268,8 @@ class SlamSystem:
         )
 
     def _local_ba(self, kf_slot: int):
-        """Covisibility-window BA (Optimizer::LocalBundleAdjustment)."""
+        """Covisibility-window BA (Optimizer::LocalBundleAdjustment),
+        interruptible by the tracker's abort flag in async mode."""
         if self.n_kf < 3:
             return
         covis = self._jit_covis(self.map)
@@ -733,12 +1283,134 @@ class SlamSystem:
         # fixed: any valid KF not in window that observes window points
         # (gather_ba_window keeps the most-constraining boundary KFs)
         fixed_mask = jnp.asarray(~window) & self.map.kf_valid
-        self._windowed_ba(window_mask, fixed_mask, 5, 10)
+        self.abort_ba = False  # fresh run (LocalMapping.cc:66)
+        self._windowed_ba(window_mask, fixed_mask, 5, 10,
+                          abortable=self.mapper is not None)
         # keep the tracker's pose consistent with the adjusted keyframe
         # (only safe when mapping runs on the tracking thread; the async
         # mapper must not move the live pose out from under the tracker)
         if self.mapper is None:
             self.last_pose = self.map.kf_pose[kf_slot]
+
+    # ------------------------------------------------------------ global BA
+    def _launch_gba(self, kf_cur: int, iters: int = 10):
+        """RunGlobalBundleAdjustment (LoopClosing.cc:618-715): optimize the
+        whole map with the matrix-free PCG solver.  Sync mode runs inline;
+        async mode runs on a dedicated thread over an immutable snapshot
+        (mapping continues), polls the stop flag + epoch between LM chunks,
+        and merges under the writer lock with spanning-tree propagation of
+        corrections to keyframes/points created during the run."""
+        import threading
+
+        self.gba_epoch += 1
+        epoch = self.gba_epoch
+        self._stop_gba = False
+        snapshot = self.map
+        n_kf_snap, n_pt_snap = self.n_kf, self.n_pt
+        if self.mapper is None:
+            self._gba_worker(snapshot, epoch, n_kf_snap, n_pt_snap, iters)
+        else:
+            t = threading.Thread(
+                target=self._gba_worker, name="global-ba", daemon=True,
+                args=(snapshot, epoch, n_kf_snap, n_pt_snap, iters),
+            )
+            self._gba_thread = t
+            t.start()
+
+    def _abort_running_gba(self):
+        """Stop an in-flight GBA and invalidate its epoch
+        (LoopClosing.cc:382-393)."""
+        if self._gba_thread is not None and self._gba_thread.is_alive():
+            self._stop_gba = True
+            self.gba_epoch += 1
+
+    def _gba_worker(self, snapshot, epoch, n_kf_snap, n_pt_snap, iters):
+        K = snapshot.kf_pose.shape[0]
+        window = snapshot.kf_valid & (jnp.arange(K) != 0)
+        fixed = jnp.zeros(K, bool).at[0].set(True)
+        prob = self._jit_build_ba(
+            snapshot, window, fixed, self.inv_sigma2_table
+        )
+        # multi-device: shard the point-major arrays over the mesh; XLA
+        # turns the Schur matvec's camera reductions into psum collectives
+        # (parallel/dist_ba design) — the distributed-BA path IS the live
+        # GBA path whenever more than one chip is visible
+        if len(jax.devices()) > 1:
+            from .parallel.dist_ba import make_mesh, shard_ba_problem
+
+            prob = shard_ba_problem(prob, make_mesh())
+        result, stopped = self._run_ba_chunked(
+            prob, iters, 0, solver="pcg", n_cg=self.cfg.map.gba_cg_iters,
+            chunk=2,
+            should_stop=lambda: self._stop_gba or self.gba_epoch != epoch,
+        )
+        self.stats["gba_runs"] += 1
+        if stopped or self.gba_epoch != epoch:
+            self.stats["gba_aborted"] += 1
+            return
+        if self.mapper is not None:
+            with self.mapper.paused():
+                if self.gba_epoch != epoch:   # re-check under the lock
+                    self.stats["gba_aborted"] += 1
+                    return
+                self._merge_gba_result(snapshot, result, n_kf_snap, n_pt_snap)
+        else:
+            self._merge_gba_result(snapshot, result, n_kf_snap, n_pt_snap)
+
+    def _merge_gba_result(self, snapshot, result, n_kf_snap, n_pt_snap):
+        """Write GBA results into the live map, propagating corrections to
+        keyframes/points created during the run through the spanning tree
+        (LoopClosing.cc:648-703).  Caller holds the writer lock."""
+        m = self.map
+        K = m.kf_pose.shape[0]
+        cur_valid = np.asarray(m.kf_valid)
+        in_gba = np.zeros(K, bool)
+        in_gba[:n_kf_snap] = np.asarray(snapshot.kf_valid)[:n_kf_snap]
+        old_pose = np.asarray(m.kf_pose)
+        corrected = old_pose.copy()
+        sel = in_gba & cur_valid
+        corrected[sel] = np.asarray(result.kf_poses)[sel]
+        # keyframes created during GBA: child pose = (old child<-parent
+        # relative) composed onto the corrected parent, ascending slot order
+        # so parents are corrected first
+        parents = np.asarray(m.kf_parent)
+        for k in range(n_kf_snap, self.n_kf):
+            p = int(parents[k])
+            if not cur_valid[k] or p < 0 or not cur_valid[p]:
+                continue
+            T_rel = old_pose[k] @ np.linalg.inv(old_pose[p])
+            corrected[k] = T_rel @ corrected[p]
+
+        P = m.pt_pos.shape[0]
+        cur_pt_valid = np.asarray(m.pt_valid)
+        in_gba_pt = np.zeros(P, bool)
+        in_gba_pt[:n_pt_snap] = np.asarray(snapshot.pt_valid)[:n_pt_snap]
+        pos = np.asarray(m.pt_pos).copy()
+        psel = in_gba_pt & cur_pt_valid
+        pos[psel] = np.asarray(result.points)[psel]
+        # newer points: move with their reference keyframe
+        # (LoopClosing.cc:680-700): x' = Twc_corrected * (Tcw_old * x)
+        others = np.where(cur_pt_valid & ~in_gba_pt)[0]
+        if len(others):
+            ref = np.asarray(m.pt_ref_kf)[others]
+            ok = (ref >= 0) & cur_valid[np.clip(ref, 0, K - 1)]
+            idx, ref = others[ok], ref[ok]
+            T_old, T_new = old_pose[ref], corrected[ref]
+            xc = (
+                np.einsum("nij,nj->ni", T_old[:, :3, :3], pos[idx])
+                + T_old[:, :3, 3]
+            )
+            pos[idx] = np.einsum(
+                "nji,nj->ni", T_new[:, :3, :3], xc - T_new[:, :3, 3]
+            )
+        self.map = m._replace(
+            kf_pose=jnp.asarray(corrected), pt_pos=jnp.asarray(pos)
+        )
+        if self.mapper is None:
+            self.last_pose = self.map.kf_pose[self.ref_kf]
+        else:
+            # tracker re-anchors at its next frame boundary
+            self._pending_pose_jump = int(self.ref_kf)
 
     def _cull_keyframes(self, kf_slot: int):
         """KeyFrameCulling: drop covisible keyframes with >= 90% redundant
@@ -774,13 +1446,30 @@ class SlamSystem:
             parents = np.asarray(self.map.kf_parent)
 
     # -------------------------------------------------------- relocalization
-    def _relocalize(self, frame) -> tuple[bool, Optional[jnp.ndarray]]:
+    def _reloc_rescue(self, frame, pose, cand, pt_idx, th, max_dist):
+        """Projection-search rescue round (ORBmatcher.cc:1385-1504)."""
+        res = self._jit_reloc_rescue(
+            self.cam, pose, frame,
+            self.map.kf_point_idx[cand], self.map.kf_feat_valid[cand],
+            self.map.kf_angle[cand],
+            self.map.pt_pos, self.map.pt_valid, self.map.pt_desc,
+            self.map.pt_max_dist, pt_idx,
+            th=float(th), max_dist=int(max_dist),
+            scale_factors=self.scale_factors,
+            scale_factor=self.cfg.orb.scale_factor,
+            n_levels=self.cfg.orb.n_levels,
+        )
+        return res.pt_idx, int(res.n_matches)
+
+    def _relocalize(self, frame):
         """Relocalization after tracking loss (Tracking.cc:1217-1363):
         BoW candidate keyframes -> descriptor matching against their
         landmark-holding features -> batched EPnP RANSAC -> pose
-        optimization, accept at >= 30 inliers (the reference polishes to
-        50 with projection rescue; our local-map pass afterwards plays
-        that role)."""
+        optimization -> up to two projection-search rescue rounds
+        (window 10/dist 100, then window 3/dist 64), accepting only at
+        >= 50 inliers (Tracking.cc:1290-1360).
+
+        Returns (ok, pose, pt_idx)."""
         from .place.keyframe_db import detect_reloc_candidates
         from .solvers.epnp import epnp_ransac
         from .geometry import camera as cam_mod
@@ -788,21 +1477,28 @@ class SlamSystem:
         from .ops import matching as M
 
         if self.db is None:
-            return False, None
+            return False, None, None
+        target = self.cfg.tracking.min_inliers_reloc
         bow = self.db.signature_of(frame.desc, frame.valid)
-        cands, _ = detect_reloc_candidates(self.db, bow)
+        covis = self._jit_covis(self.map)
+        cands, _ = detect_reloc_candidates(self.db, bow, covis)
         for cand in np.asarray(cands):
             if cand < 0:
                 continue
             cand = int(cand)
             pt_idx_kf = self.map.kf_point_idx[cand]
-            has_pt = (pt_idx_kf >= 0) & self.map.kf_feat_valid[cand]
+            has_pt = (
+                (pt_idx_kf >= 0)
+                & self.map.kf_feat_valid[cand]
+                & jnp.take(self.map.pt_valid, jnp.clip(pt_idx_kf, 0))
+            )
             dist = _ham(self.map.kf_desc[cand], frame.desc)
             res = M.nn_match(
                 dist, row_valid=has_pt, col_valid=frame.valid,
-                max_dist=50, ratio=0.75, mutual=True,
+                max_dist=50, ratio=self.cfg.matcher.nn_ratio_reloc,
+                mutual=True,
             )
-            if int(jnp.sum(res.mask)) < 15:
+            if int(jnp.sum(res.mask)) < 15:  # SearchByBoW bar (Tracking.cc:1253)
                 continue
             pw = self.map.pt_pos[jnp.clip(pt_idx_kf, 0)]
             xn = cam_mod.pixel_to_normalized(
@@ -825,12 +1521,37 @@ class SlamSystem:
             pose, pt_idx, n_inl = self._pose_opt_against_map(
                 frame, pnp.Tcw, pt_of_feat
             )
-            if int(n_inl) >= 15:
-                self.ref_kf = cand
+            n_inl = int(n_inl)
+            if n_inl < 10:
+                continue
+            # rescue round 1: wide window, loose distance (Tracking.cc:1315)
+            if n_inl < target:
+                pt_idx, n_add = self._reloc_rescue(
+                    frame, pose, cand, pt_idx, th=10.0, max_dist=100
+                )
+                if n_inl + n_add >= target:
+                    pose, pt_idx, n_inl = self._pose_opt_against_map(
+                        frame, pose, pt_idx
+                    )
+                    n_inl = int(n_inl)
+                    # rescue round 2: narrow window around the refined pose
+                    # (Tracking.cc:1330-1345)
+                    if target > n_inl > 30:
+                        pt_idx, n_add = self._reloc_rescue(
+                            frame, pose, cand, pt_idx, th=3.0, max_dist=64
+                        )
+                        if n_inl + n_add >= target:
+                            pose, pt_idx, n_inl = self._pose_opt_against_map(
+                                frame, pose, pt_idx
+                            )
+                            n_inl = int(n_inl)
+            if n_inl >= target:
+                self._set_ref_kf(cand)
                 self.state = TrackState.OK
-                self.last_pt_idx = pt_idx
-                return True, pose
-        return False, None
+                self.stats["relocs"] += 1
+                return True, pose, pt_idx
+            self.stats["reloc_rejects"] += 1
+        return False, None, None
 
     # ---------------------------------------------------------- loop closing
     def _try_close_loop(self, kf_slot: int) -> bool:
@@ -872,19 +1593,30 @@ class SlamSystem:
             ) + len(pairs)
             if n_total < self.cfg.loop.min_total_matches:
                 continue
-            self._correct_loop(kf_slot, cand, R_cm, t_cm, s_cm)
+            # abort any in-flight GBA before correcting (LoopClosing.cc:382)
+            self._abort_running_gba()
+            if self.mapper is not None:
+                with self.mapper.paused():
+                    self._correct_loop(kf_slot, cand, R_cm, t_cm, s_cm)
+            else:
+                self._correct_loop(kf_slot, cand, R_cm, t_cm, s_cm)
+            # spawn the epoch-guarded global BA (LoopClosing.cc:556)
+            self._launch_gba(kf_slot)
             return True
         return False
 
     def _correct_loop(self, kf_cur: int, kf_loop: int, R_cm, t_cm, s_cm):
-        """CorrectLoop (LoopClosing.cc:375-563): Sim3 propagation through
-        the covisible group, essential-graph optimization, point correction,
-        global BA."""
+        """CorrectLoop (LoopClosing.cc:375-563), in the reference's order:
+        Sim3 propagation through the covisible group + group-point remap,
+        SearchAndFuse of the loop neighbourhood's landmarks into *every*
+        corrected keyframe, LoopConnections derivation, essential-graph
+        optimization, landmark correction.  The global BA is spawned by the
+        caller (_try_close_loop) after this returns."""
         from .optim import pose_graph as PG
 
         K = self.map.kf_pose.shape[0]
         kf_valid = np.asarray(self.map.kf_valid)
-        covis = np.asarray(self._jit_covis(self.map))
+        covis_before = np.asarray(self._jit_covis(self.map))
         old_pose = np.asarray(self.map.kf_pose)
         old_R = jnp.asarray(old_pose[:, :3, :3])
         old_t = jnp.asarray(old_pose[:, :3, 3])
@@ -899,36 +1631,100 @@ class SlamSystem:
 
         # propagate to the covisible group (LoopClosing.cc:413-470)
         group = {kf_cur} | {
-            int(i) for i in np.where(covis[kf_cur] >= 15)[0] if kf_valid[i]
+            int(i) for i in np.where(covis_before[kf_cur] >= 15)[0]
+            if kf_valid[i]
         }
-        new_R = old_R
-        new_t = old_t
-        new_s = old_s
+        mid_R, mid_t, mid_s = old_R, old_t, old_s
         T_cw_old = jnp.asarray(old_pose[kf_cur])
         for i in sorted(group):
             T_ic = jnp.asarray(old_pose[i]) @ se3.inv(T_cw_old)
             S_iw = sim3.compose(
                 T_ic[:3, :3], T_ic[:3, 3], jnp.asarray(1.0, jnp.float32), *S_cw
             )
-            new_R = new_R.at[i].set(S_iw[0])
-            new_t = new_t.at[i].set(S_iw[1])
-            new_s = new_s.at[i].set(S_iw[2])
+            mid_R = mid_R.at[i].set(S_iw[0])
+            mid_t = mid_t.at[i].set(S_iw[1])
+            mid_s = mid_s.at[i].set(S_iw[2])
 
-        # essential-graph edges from pre-correction poses + the loop edge
+        # write the corrected group poses + remap the group's landmarks into
+        # the live map (LoopClosing.cc:413-508) so fusion happens in the
+        # corrected frame
+        group_arr = np.zeros(K, bool)
+        group_arr[sorted(group)] = True
+        group_mask = jnp.asarray(group_arr)
+        pt_group = jnp.take(
+            group_mask, jnp.clip(self.map.pt_ref_kf, 0)
+        ) & (self.map.pt_ref_kf >= 0) & self.map.pt_valid
+        mid_pts = PG.correct_points_after_pose_graph(
+            self.map.pt_pos, self.map.pt_ref_kf, old_R, old_t, old_s,
+            mid_R, mid_t, mid_s,
+        )
+        mid_se3_t = mid_t / mid_s[:, None]
+        mid_poses = jax.vmap(se3.from_rt)(mid_R, mid_se3_t)
+        self.map = self.map._replace(
+            kf_pose=jnp.where(group_mask[:, None, None], mid_poses,
+                              self.map.kf_pose),
+            pt_pos=jnp.where(pt_group[:, None], mid_pts, self.map.pt_pos),
+        )
+
+        # SearchAndFuse (LoopClosing.cc:565-590): fuse the loop
+        # neighbourhood's landmarks into every keyframe of the corrected
+        # group (radius th=4)
+        loop_group = jnp.asarray(
+            (covis_before[kf_loop] >= 15)
+            | (np.arange(K) == kf_loop)
+        ) & self.map.kf_valid
+        obs_in_loop = jnp.take(
+            loop_group, jnp.clip(self.map.pt_obs_kf, 0)
+        ) & (self.map.pt_obs_kf >= 0)
+        loop_pt_mask = self.map.pt_valid & jnp.any(obs_in_loop, axis=1)
+        for i in sorted(group):
+            self.map = self._jit_fuse_masked(
+                self.map, jnp.int32(i), self.cam, loop_pt_mask,
+                budget=1024, scale_factor=self.cfg.orb.scale_factor,
+                n_levels=self.cfg.orb.n_levels, th=4.0,
+            )
+        self.map = self._jit_update_stats(
+            self.map, scale_factor=self.cfg.orb.scale_factor,
+            n_levels=self.cfg.orb.n_levels,
+        )
+
+        # LoopConnections (LoopClosing.cc:517-539): covisibility edges the
+        # fusion just created between the corrected group and the loop side
+        covis_after = np.asarray(self._jit_covis(self.map))
+        loop_connections: list[tuple[int, int]] = []
+        for i in sorted(group):
+            new_nb = np.where(
+                (covis_after[i] >= 15) & (covis_before[i] < 15)
+            )[0]
+            for j in new_nb:
+                if int(j) not in group and kf_valid[j]:
+                    loop_connections.append((i, int(j)))
+
+        # essential-graph edges: spanning tree + strong covisibility from
+        # PRE-correction geometry (NonCorrectedSim3), historic loop edges,
+        # the new loop connections measured in the corrected frame, and the
+        # measured loop edge itself
         kf_parent = np.asarray(self.map.kf_parent)
-        loop_pairs = [(kf_loop, kf_cur)]
+        historic_pairs = []
         for k in range(self.n_kf):
             for le in np.asarray(self.map.kf_loop_edges[k]):
                 if le >= 0 and le > k:
-                    loop_pairs.append((k, int(le)))
+                    historic_pairs.append((k, int(le)))
         edges = LC.build_essential_graph_edges(
-            kf_parent, covis, kf_valid, loop_pairs[1:],
+            kf_parent, covis_before, kf_valid, historic_pairs,
             old_R, old_t, old_s,
             min_covis_weight=self.cfg.map.ess_graph_min_weight,
         )
-        # append the new loop edge with its measured Sim3: M_ji with i=loop,
-        # j=cur corrected: M = S_cw_corrected * S_mw^-1 = S_cm
-        loop_edge = PG.PoseGraphEdges(
+        edge_sets = [edges]
+        if loop_connections:
+            li = jnp.asarray([a for a, _ in loop_connections], jnp.int32)
+            lj = jnp.asarray([b for _, b in loop_connections], jnp.int32)
+            edge_sets.append(PG.make_edges_from_poses(
+                li, lj, mid_R, mid_t, mid_s,
+                jnp.ones(len(loop_connections), bool),
+            ))
+        # the measured loop edge: M_ji with i=loop, j=cur is exactly S_cm
+        edge_sets.append(PG.PoseGraphEdges(
             i=jnp.asarray([kf_loop], jnp.int32),
             j=jnp.asarray([kf_cur], jnp.int32),
             R=jnp.asarray(R_cm)[None],
@@ -936,23 +1732,24 @@ class SlamSystem:
             s=jnp.asarray([np.float32(s_cm)]),
             weight=jnp.asarray([1.0], jnp.float32),
             valid=jnp.asarray([True]),
-        )
+        ))
         edges = PG.PoseGraphEdges(*[
-            jnp.concatenate([a, b], axis=0) for a, b in zip(edges, loop_edge)
+            jnp.concatenate(parts, axis=0) for parts in zip(*edge_sets)
         ])
 
         node_valid = jnp.asarray(kf_valid)
         node_fixed = jnp.zeros(K, bool).at[kf_loop].set(True)
         # initial values: corrected poses for the group, old elsewhere
         opt_R, opt_t, opt_s = PG.optimize_pose_graph(
-            new_R, new_t, new_s, node_valid, node_fixed, edges,
+            mid_R, mid_t, mid_s, node_valid, node_fixed, edges,
             fix_scale=self.sensor != "monocular",
         )
 
-        # correct landmarks through their reference keyframes, then convert
-        # Sim3 nodes back to SE3 poses (t/s, LoopClosing.cc:488)
+        # correct landmarks through their reference keyframes — from the
+        # post-propagation (mid) frame, since group points were already
+        # remapped — then convert Sim3 nodes back to SE3 (LoopClosing.cc:488)
         new_pts = PG.correct_points_after_pose_graph(
-            self.map.pt_pos, self.map.pt_ref_kf, old_R, old_t, old_s,
+            self.map.pt_pos, self.map.pt_ref_kf, mid_R, mid_t, mid_s,
             opt_R, opt_t, opt_s,
         )
         se3_t = opt_t / opt_s[:, None]
@@ -964,7 +1761,13 @@ class SlamSystem:
         self.map = self.map._replace(
             kf_pose=new_poses,
             pt_pos=jnp.where(self.map.pt_valid[:, None], new_pts, self.map.pt_pos),
-            kf_loop_edges=self.map.kf_loop_edges.at[kf_cur, 0].set(kf_loop),
+            kf_loop_edges=self.map.kf_loop_edges
+                .at[kf_cur, 0].set(kf_loop)
+                .at[kf_loop, 0].set(kf_cur),
+        )
+        self.map = self._jit_update_stats(
+            self.map, scale_factor=self.cfg.orb.scale_factor,
+            n_levels=self.cfg.orb.n_levels,
         )
         self.loop_state.last_loop_kf = kf_cur
         if self.mapper is None:
@@ -974,26 +1777,12 @@ class SlamSystem:
             # tracker applies the corrected pose at its next frame boundary
             self._pending_pose_jump = kf_cur
 
-        # fuse loop-side landmarks into the corrected neighbourhood, then
-        # global BA (10 iters, RunGlobalBundleAdjustment semantics)
-        self.map = self._jit_fuse(
-            self.map, jnp.int32(kf_cur), self.cam,
-            budget=2048, scale_factor=self.cfg.orb.scale_factor,
-            n_levels=self.cfg.orb.n_levels,
-        )
-        window = jnp.asarray(kf_valid) & (jnp.arange(K) != 0)
-        fixed = jnp.zeros(K, bool).at[0].set(True)
-        self._global_ba(window, fixed, iters=10)
-        self.map = self._jit_update_stats(
-            self.map, scale_factor=self.cfg.orb.scale_factor,
-            n_levels=self.cfg.orb.n_levels,
-        )
-        if self.mapper is None:
-            self.last_pose = self.map.kf_pose[kf_cur]
-
     # ----------------------------------------------------------- trajectory
-    def _log_frame(self, timestamp, lost: bool):
-        Tcr = np.asarray(self.last_pose @ se3.inv(self.map.kf_pose[self.ref_kf]))
+    def _log_frame(self, timestamp, lost: bool, Tcr=None):
+        if Tcr is None:
+            Tcr = np.asarray(
+                self.last_pose @ se3.inv(self.map.kf_pose[self.ref_kf])
+            )
         self.trajectory.append(
             FrameLog(self.frame_id, timestamp, Tcr, self.ref_kf, lost)
         )
@@ -1017,16 +1806,24 @@ class SlamSystem:
             self.mapper.shutdown()
             self.mapper = None
 
+    def tracked_logs(self) -> list[FrameLog]:
+        """Frame logs with a pose, i.e. excluding lost frames — lost frames
+        are skipped in every trajectory product, matching the reference
+        (System.cc:387-388 ``if(*lbL) continue``)."""
+        return [log for log in self.trajectory if not log.lost]
+
+    def tracked_frame_ids(self) -> np.ndarray:
+        return np.asarray([log.frame_id for log in self.tracked_logs()])
+
     def frame_poses(self) -> np.ndarray:
-        """(n, 4, 4) Tcw per tracked frame, recomposed through current KF
-        poses (System::SaveTrajectoryTUM semantics, System.cc:355-415)."""
+        """(n, 4, 4) Tcw per *tracked* frame (lost frames skipped),
+        recomposed through current KF poses (System::SaveTrajectoryTUM
+        semantics, System.cc:355-415)."""
         kf_poses = np.asarray(self.map.kf_pose)
-        out = []
-        for log in self.trajectory:
-            if log.lost:
-                out.append(out[-1] if out else np.eye(4, dtype=np.float32))
-                continue
-            out.append(log.Tcr @ self._resolve_kf_pose(log.ref_kf, kf_poses))
+        out = [
+            log.Tcr @ self._resolve_kf_pose(log.ref_kf, kf_poses)
+            for log in self.tracked_logs()
+        ]
         if not out:
             return np.zeros((0, 4, 4), dtype=np.float32)
         return np.stack(out)
@@ -1038,7 +1835,7 @@ class SlamSystem:
     def export_trajectory_tum(self, path: str):
         poses = self.frame_poses()
         with open(path, "w") as f:
-            for log, Tcw in zip(self.trajectory, poses):
+            for log, Tcw in zip(self.tracked_logs(), poses):
                 Twc = np.linalg.inv(Tcw)
                 q = np.asarray(se3.to_quaternion(jnp.asarray(Twc[:3, :3])))
                 t = Twc[:3, 3]

@@ -63,7 +63,8 @@ class MatcherConfig:
     th_low: int = 50
     th_high: int = 100
     histo_length: int = 30
-    nn_ratio_tracking: float = 0.9    # TrackWithMotionModel / reference KF
+    nn_ratio_tracking: float = 0.9    # TrackWithMotionModel (Tracking.cc:784)
+    nn_ratio_ref_kf: float = 0.7      # TrackReferenceKeyFrame (Tracking.cc:688)
     nn_ratio_reloc: float = 0.75
 
 
@@ -78,6 +79,8 @@ class TrackingConfig:
     min_inliers_track: int = 10       # TrackWithMotionModel/RefKF (Tracking.cc:770)
     min_inliers_local_map: int = 30   # TrackLocalMap pass bar (Tracking.cc:875)
     min_inliers_local_map_reloc: int = 50
+    min_matches_ref_kf: int = 15      # TrackReferenceKeyFrame bar (Tracking.cc:694)
+    min_inliers_reloc: int = 50       # Relocalization accept bar (Tracking.cc:1356)
     max_local_keyframes: int = 80     # UpdateLocalKeyFrames cap (Tracking.cc:1167)
     min_frames_between_kf: int = 0
     max_frames_between_kf: int = 30   # = fps in the reference (Tracking.cc:148)
@@ -98,6 +101,10 @@ class MapConfig:
     local_ba_max_points: int = 8192
     # CG iterations per LM step for the matrix-free global-BA solver
     gba_cg_iters: int = 80
+    # covisible-neighbor counts for SearchInNeighbors / CreateNewMapPoints
+    # (LocalMapping.cc:189-192, 430-433); 0 = the reference's 10 (20 mono)
+    fuse_neighbors: int = 0
+    triangulate_neighbors: int = 0
 
 
 @dataclass(frozen=True)
@@ -111,6 +118,9 @@ class LoopConfig:
 @dataclass(frozen=True)
 class SystemConfig:
     sensor: str = "monocular"   # "monocular" | "stereo" | "rgbd"
+    # visual-vocabulary asset path; empty -> packaged assets/vocab.npz,
+    # missing file -> lazy one-frame training fallback
+    vocab_path: str = ""
     camera: CameraConfig = field(default_factory=CameraConfig)
     orb: ORBConfig = field(default_factory=ORBConfig)
     matcher: MatcherConfig = field(default_factory=MatcherConfig)

@@ -91,7 +91,7 @@ def main():
     est = sys_.camera_centers()
     gt = np.stack([-(T[:3, :3].T @ T[:3, 3]) for T in traj])
     path_len = float(np.linalg.norm(np.diff(gt, axis=0), axis=1).sum())
-    ate = ate_rmse(est, gt)
+    ate = ate_rmse(est, gt[sys_.tracked_frame_ids()])
     os.makedirs(args.out, exist_ok=True)
     sys_.export_trajectory_tum(os.path.join(args.out, "trajectory_tum.txt"))
     sys_.export_trajectory_kitti(os.path.join(args.out, "trajectory_kitti.txt"))

@@ -1,0 +1,151 @@
+"""Async pipeline tests: 3-thread split (tracking / mapping / loop+GBA),
+interruptible local BA, and epoch-guarded abortable global BA
+(LocalMapping.cc:70-78, LoopClosing.cc:618-715).
+"""
+
+import threading
+import time
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from refactored_orb_slam2_tpu.geometry import se3
+from refactored_orb_slam2_tpu.system import SlamSystem
+from refactored_orb_slam2_tpu.utils.config import (
+    CameraConfig, MapConfig, ORBConfig, SystemConfig,
+)
+from refactored_orb_slam2_tpu.utils.synthetic import SyntheticWorld, ate_rmse
+
+
+def make_cfg(n_features=400):
+    return SystemConfig(
+        sensor="rgbd",
+        camera=CameraConfig(
+            fx=400.0, fy=400.0, cx=160.0, cy=120.0, bf=200.0,
+            width=320, height=240, fps=10,
+        ),
+        orb=ORBConfig(n_features=n_features, n_levels=4),
+        map=MapConfig(max_keyframes=24, max_points=4096, max_obs_per_point=8,
+                      fuse_neighbors=4, triangulate_neighbors=4),
+    )
+
+
+def lateral_traj(n, step=0.06):
+    motion = np.asarray(se3.exp(jnp.asarray([step, 0, 0, 0, 0, 0], jnp.float32)))
+    out = [np.eye(4, dtype=np.float32)]
+    for _ in range(n - 1):
+        out.append(motion @ out[-1])
+    return np.stack(out)
+
+
+def run_sequence(sys_, world, traj, rng):
+    lost = 0
+    for i, Tcw in enumerate(traj):
+        img = world.render(Tcw, sys_.cam, noise=2.0, rng=rng)
+        depth = world.render_depth(Tcw, sys_.cam)
+        if sys_.track_rgbd(img, depth, i * 0.1) is None:
+            lost += 1
+    return lost
+
+
+def slow_chunk(sys_, delay=0.15):
+    """Wrap the jitted LM chunk with a sleep so host-side abort polls are
+    deterministic in tests."""
+    orig = sys_._jit_lm_chunk
+
+    def wrapped(*args, **kw):
+        time.sleep(delay)
+        return orig(*args, **kw)
+
+    sys_._jit_lm_chunk = wrapped
+    return orig
+
+
+@pytest.mark.slow
+class TestAsyncPipeline:
+    def test_async_tracking_matches_sync(self):
+        """Async mapping must track the same sequence without loss and with
+        comparable accuracy."""
+        world = SyntheticWorld.create(
+            seed=21, n_points=500, x_range=(-6, 6), y_range=(-2.5, 2.5),
+            z_range=(2.5, 10.0), clear_tube=0.0,
+        )
+        traj = lateral_traj(12)
+        sys_ = SlamSystem(make_cfg(), async_mapping=True)
+        rng = np.random.default_rng(2)
+        lost = run_sequence(sys_, world, traj, rng)
+        sys_.shutdown()
+        assert lost == 0
+        gt = np.stack([-(T[:3, :3].T @ T[:3, 3]) for T in traj])
+        ate = ate_rmse(sys_.camera_centers(), gt[sys_.tracked_frame_ids()])
+        assert ate < 0.05, f"async ATE {ate}"
+
+    def test_gba_abort_by_epoch(self):
+        """A GBA whose epoch is invalidated mid-run must discard its result
+        (mnFullBAIdx, LoopClosing.cc:621-631)."""
+        world = SyntheticWorld.create(
+            seed=22, n_points=450, z_range=(2.5, 9.0), clear_tube=0.0,
+        )
+        traj = lateral_traj(8)
+        sys_ = SlamSystem(make_cfg(), async_mapping=True)
+        rng = np.random.default_rng(3)
+        run_sequence(sys_, world, traj, rng)
+        sys_.mapper.wait_idle(timeout=120)
+        assert sys_.n_kf >= 3
+
+        poses_before = np.asarray(sys_.map.kf_pose).copy()
+        slow_chunk(sys_)
+        sys_._launch_gba(sys_.ref_kf, iters=10)
+        assert sys_._gba_thread.is_alive()
+        # invalidate while mid-flight (what a new loop correction does)
+        sys_._abort_running_gba()
+        sys_._gba_thread.join(timeout=120)
+        assert not sys_._gba_thread.is_alive()
+        assert sys_.stats["gba_aborted"] == 1
+        np.testing.assert_array_equal(
+            poses_before, np.asarray(sys_.map.kf_pose),
+            err_msg="aborted GBA leaked results into the map",
+        )
+        sys_.shutdown()
+
+    def test_keyframes_processed_while_gba_runs(self):
+        """Mapping must keep integrating keyframes while a GBA is mid-flight;
+        the merge then propagates corrections to keyframes created during
+        the run (LoopClosing.cc:648-703)."""
+        world = SyntheticWorld.create(
+            seed=23, n_points=550, x_range=(-8, 8), z_range=(2.5, 10.0),
+            clear_tube=0.0,
+        )
+        traj = lateral_traj(20, step=0.07)
+        sys_ = SlamSystem(make_cfg(), async_mapping=True)
+        rng = np.random.default_rng(4)
+        run_sequence(sys_, world, traj[:8], rng)
+        sys_.mapper.wait_idle(timeout=120)
+        n_kf_at_launch = sys_.n_kf
+        assert n_kf_at_launch >= 3
+
+        orig = slow_chunk(sys_, delay=1.5)
+        sys_._launch_gba(sys_.ref_kf, iters=10)
+        assert sys_._gba_thread.is_alive()
+        # keep tracking while GBA runs; a keyframe must land mid-flight
+        grew_during_gba = False
+        for i, Tcw in enumerate(traj[8:]):
+            img = world.render(Tcw, sys_.cam, noise=2.0, rng=rng)
+            depth = world.render_depth(Tcw, sys_.cam)
+            assert sys_.track_rgbd(img, depth, (8 + i) * 0.1) is not None
+            if sys_.n_kf > n_kf_at_launch and sys_._gba_thread.is_alive():
+                grew_during_gba = True
+        sys_._jit_lm_chunk = orig
+        sys_._gba_thread.join(timeout=300)
+        assert grew_during_gba, (
+            "no keyframe was created while GBA was mid-flight - slow the "
+            "GBA down further or lengthen the sequence")
+        assert sys_.stats["gba_runs"] == 1
+        assert sys_.stats["gba_aborted"] == 0
+        # merged poses are finite and the map is still trackable
+        assert np.isfinite(np.asarray(sys_.map.kf_pose)[: sys_.n_kf]).all()
+        img = world.render(traj[-1], sys_.cam, noise=2.0, rng=rng)
+        depth = world.render_depth(traj[-1], sys_.cam)
+        assert sys_.track_rgbd(img, depth, 99.0) is not None
+        sys_.shutdown()

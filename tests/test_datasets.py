@@ -136,7 +136,7 @@ def test_run_dataset_driver_rgbd(tmp_path):
     res = subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts", "run_dataset.py"),
          "rgbd_tum", "--data", str(tmp_path / "seq"), "--out", str(out),
-         "--max-frames", "2"],
+         "--max-frames", "2", "--cpu"],
         capture_output=True, text=True, timeout=600, env=env, cwd=REPO,
     )
     assert res.returncode == 0, res.stderr[-2000:]

@@ -29,7 +29,8 @@ def make_cfg(sensor, n_features=500):
             width=320, height=240, fps=10,
         ),
         orb=ORBConfig(n_features=n_features, n_levels=4),
-        map=MapConfig(max_keyframes=24, max_points=4096, max_obs_per_point=8),
+        map=MapConfig(max_keyframes=24, max_points=4096, max_obs_per_point=8,
+                      fuse_neighbors=4, triangulate_neighbors=4),
     )
 
 
@@ -173,6 +174,6 @@ class TestMonocular:
         from refactored_orb_slam2_tpu.utils.synthetic import ate_rmse_sim3
 
         est = sys_.camera_centers()
-        gt = gt_centers(traj)[len(traj) - len(sys_.trajectory):]
+        gt = gt_centers(traj)[sys_.tracked_frame_ids()]
         ate = ate_rmse_sim3(est, gt)
         assert ate < 0.05, f"mono ATE {ate}"

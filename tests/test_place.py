@@ -99,10 +99,51 @@ class TestKeyFrameDB:
     def test_loop_candidate_found(self):
         rng = np.random.default_rng(3)
         db, frames = self._build(rng)
-        covis = jnp.zeros(16, jnp.int32).at[9].set(50).at[8].set(30)  # recent neighbors
+        covis = (  # recent neighbors of the query keyframe 10
+            jnp.zeros((16, 16), jnp.int32)
+            .at[10, 9].set(50).at[9, 10].set(50)
+            .at[10, 8].set(30).at[8, 10].set(30)
+        )
         cands, scores = detect_loop_candidates(db, db.bow[10], 10, covis)
         cands = [int(c) for c in np.asarray(cands) if c >= 0]
         assert 1 in cands, cands
+
+    def test_group_accumulation_beats_lone_decoy(self):
+        """Covisibility-group score accumulation (KeyFrameDatabase.cc:120-160):
+        a covisible group of moderately-similar keyframes must outrank an
+        isolated keyframe whose single score is slightly higher."""
+        rng = np.random.default_rng(6)
+        descs, fam, _ = make_descriptor_families(rng, n_families=8)
+        vocab = train_vocabulary(descs, n_words=8, iters=2)
+        db = KeyFrameDB(vocab, max_keyframes=16)
+        K, W = 16, vocab.n_words
+        query = np.zeros(W, np.float32)
+        query[:4] = 0.25
+        bows = np.zeros((K, W), np.float32)
+        # group A: keyframes 1,2,3 moderately similar to the query
+        for k in (1, 2, 3):
+            bows[k, :4] = 0.15
+            bows[k, 4 + (k % 4)] = 0.40
+        # lone decoy 7: higher single score, no covisible support
+        bows[7, :4] = 0.20
+        bows[7, 5] = 0.20
+        # keyframe 0: the query's own covisible neighbor, dissimilar (sets
+        # minScore low, as a recent neighbor does in a real map)
+        bows[0, 6] = 1.0
+        db.bow = jnp.asarray(bows)
+        db.valid = jnp.asarray([k in (0, 1, 2, 3, 7) for k in range(K)])
+        covis = np.zeros((K, K), np.int32)
+        for a in (1, 2, 3):
+            for b in (1, 2, 3):
+                if a != b:
+                    covis[a, b] = 40
+        covis[12, 0] = covis[0, 12] = 30
+        cands, _ = detect_loop_candidates(
+            db, jnp.asarray(query), 12, jnp.asarray(covis)
+        )
+        cands = [int(c) for c in np.asarray(cands) if c >= 0]
+        assert cands and cands[0] in (1, 2, 3), cands
+        assert 7 not in cands, "lone decoy survived the 0.75*bestAcc gate"
 
     def test_reloc_candidates(self):
         rng = np.random.default_rng(4)
