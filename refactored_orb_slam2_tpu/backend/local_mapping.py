@@ -117,41 +117,55 @@ def fuse_into_keyframe(
     loser = jnp.where(cand_wins, pe, pcand)
     winner = jnp.where(cand_wins, pcand, pe)
 
-    # point remap table: loser -> winner
-    remap = jnp.arange(P, dtype=jnp.int32)
-    remap = remap.at[jnp.where(merge_mask, loser, P)].set(
-        jnp.where(merge_mask, winner, 0).astype(jnp.int32), mode="drop"
+    # rewrite every keyframe's reference to a loser via the loser's own
+    # observation list — a bounded (N, O) scatter instead of a full (K, N)
+    # gather-rewrite (losers are mirrored in their obs lists; a reference
+    # orphaned by an earlier overflow stays behind but is masked everywhere
+    # by pt_valid)
+    l_list = jnp.where(merge_mask, loser, 0)
+    w_list = jnp.where(merge_mask, winner, 0).astype(jnp.int32)
+    lref_kf = state.pt_obs_kf[l_list]                        # (N, O)
+    lref_ft = state.pt_obs_feat[l_list]
+    upd_ok = merge_mask[:, None] & (lref_kf >= 0)
+    new_kf_point_idx = state.kf_point_idx.at[
+        jnp.where(upd_ok, lref_kf, K), jnp.where(upd_ok, lref_ft, 0)
+    ].set(jnp.broadcast_to(w_list[:, None], lref_kf.shape), mode="drop")
+    # the fused keyframe's own row is rewritten directly (merge_mask/winner
+    # are per-feature here), so it never depends on the obs mirror
+    own_row = jnp.where(merge_mask, w_list, new_kf_point_idx[kf_slot])
+    new_kf_point_idx = new_kf_point_idx.at[kf_slot].set(own_row)
+
+    # invalidate losers
+    is_loser = jnp.zeros(P, bool).at[jnp.where(merge_mask, loser, P)].set(
+        True, mode="drop"
     )
-    # one hop is enough (losers have strictly fewer obs than winners;
-    # chains are rare and collapse next fuse round)
-    new_kf_point_idx = jnp.where(
-        state.kf_point_idx >= 0,
-        remap[jnp.clip(state.kf_point_idx, 0)],
-        state.kf_point_idx,
-    )
-    # invalidate losers; transfer their observations to the winner where the
-    # winner has free slots
-    is_loser = remap != jnp.arange(P, dtype=jnp.int32)
     pt_valid = state.pt_valid & ~is_loser
 
     # transfer: for each winner row, pull the loser's observation list into
-    # free slots.  (One loser per winner per fuse round in practice; extra
-    # losers drop their observations.)
+    # free slots.  Winners live in the budget-sized candidate set, so the
+    # pack/argsort runs on (budget, 2O) rows and is scattered back — never
+    # on the full (P, 2O) bank.
     loser_of = jnp.full((P,), -1, jnp.int32).at[
         jnp.where(merge_mask, winner, P)
     ].set(jnp.where(merge_mask, loser, -1).astype(jnp.int32), mode="drop")
-    has_loser = loser_of >= 0
-    l_idx = jnp.clip(loser_of, 0)
-    l_obs_kf = jnp.where(has_loser[:, None], state.pt_obs_kf[l_idx], -1)
-    l_obs_ft = jnp.where(has_loser[:, None], state.pt_obs_feat[l_idx], -1)
-    # pack: winner's own obs first, then loser's, then pad; keep first O
-    cat_kf = jnp.concatenate([state.pt_obs_kf, l_obs_kf], axis=1)     # (P, 2O)
-    cat_ft = jnp.concatenate([state.pt_obs_feat, l_obs_ft], axis=1)
+    w_rows = jnp.clip(top_idx, 0)                            # (budget,)
+    loser_b = loser_of[w_rows]                               # (budget,)
+    has_loser_b = (loser_b >= 0) & sel_ok
+    l_idx_b = jnp.clip(loser_b, 0)
+    l_obs_kf = jnp.where(has_loser_b[:, None], state.pt_obs_kf[l_idx_b], -1)
+    l_obs_ft = jnp.where(has_loser_b[:, None], state.pt_obs_feat[l_idx_b], -1)
+    w_obs_kf = state.pt_obs_kf[w_rows]
+    w_obs_ft = state.pt_obs_feat[w_rows]
+    cat_kf = jnp.concatenate([w_obs_kf, l_obs_kf], axis=1)   # (budget, 2O)
+    cat_ft = jnp.concatenate([w_obs_ft, l_obs_ft], axis=1)
     order = jnp.argsort(jnp.where(cat_kf >= 0, 0, 1), axis=1, stable=True)
     cat_kf = jnp.take_along_axis(cat_kf, order, axis=1)[:, :O]
     cat_ft = jnp.take_along_axis(cat_ft, order, axis=1)[:, :O]
-    pt_obs_kf = jnp.where(pt_valid[:, None], cat_kf, -1)
-    pt_obs_feat = jnp.where(pt_valid[:, None], cat_ft, -1)
+    scatter_rows = jnp.where(has_loser_b, w_rows, P)
+    pt_obs_kf = state.pt_obs_kf.at[scatter_rows].set(cat_kf, mode="drop")
+    pt_obs_feat = state.pt_obs_feat.at[scatter_rows].set(cat_ft, mode="drop")
+    pt_obs_kf = jnp.where(pt_valid[:, None], pt_obs_kf, -1)
+    pt_obs_feat = jnp.where(pt_valid[:, None], pt_obs_feat, -1)
 
     s = state._replace(
         kf_point_idx=new_kf_point_idx,
@@ -168,6 +182,38 @@ def fuse_into_keyframe(
     kf_pt = jnp.where(add_pt >= 0, add_pt, kf_pt)
     s = s._replace(kf_point_idx=s.kf_point_idx.at[kf_slot].set(kf_pt))
     return s
+
+
+def fuse_into_keyframes(
+    state: MapState,
+    kf_slots: jax.Array,        # (T,) target keyframe slots (-1 pad)
+    cam: Camera,
+    pt_mask: jax.Array,
+    *,
+    budget: int,
+    scale_factor: float,
+    n_levels: int,
+    th: float = 3.0,
+    max_dist: int = 50,
+) -> MapState:
+    """Fuse a fixed point set into several keyframes in ONE program.
+
+    SearchInNeighbors direction 1 (LocalMapping.cc:439-466) issues one Fuse
+    per covisible target; as separate dispatches each pays full launch
+    latency on a tunneled chip.  A lax.scan with the map state as carry runs
+    all targets in a single XLA program; padded (-1) slots skip via cond.
+    """
+    def body(s, slot):
+        def do(s):
+            return fuse_into_keyframe(
+                s, slot, cam, pt_mask, budget=budget,
+                scale_factor=scale_factor, n_levels=n_levels,
+                th=th, max_dist=max_dist,
+            )
+        return jax.lax.cond(slot >= 0, do, lambda s: s, s), None
+
+    state, _ = jax.lax.scan(body, state, kf_slots)
+    return state
 
 
 def update_visibility(
@@ -396,6 +442,44 @@ def triangulate_with_neighbor(
     )
     s = s._replace(kf_point_idx=s.kf_point_idx.at[kf_b].set(kf_pt_b))
     return s, n_new
+
+
+def triangulate_with_neighbors(
+    state: MapState,
+    kf_a: jax.Array,
+    neighbors: jax.Array,     # (T,) neighbor slots (-1 pad)
+    cam: Camera,
+    pt_base: jax.Array,
+    *,
+    max_new: int,
+    scale_factor: float,
+    n_levels: int,
+    min_baseline_ratio: float = 0.01,
+) -> tuple[MapState, jax.Array]:
+    """CreateNewMapPoints over all covisible neighbors in ONE program
+    (LocalMapping.cc:185-423 loops neighbors; separate dispatches pay launch
+    latency per neighbor).  Skips padded slots and stops allocating when the
+    point bank cannot hold another ``max_new`` batch.  Returns
+    (state, n_created_total)."""
+    P = state.pt_pos.shape[0]
+
+    def body(carry, nb):
+        s, base = carry
+
+        def do(args):
+            s, base = args
+            s2, n_new = triangulate_with_neighbor(
+                s, kf_a, nb, cam, base, max_new=max_new,
+                scale_factor=scale_factor, n_levels=n_levels,
+                min_baseline_ratio=min_baseline_ratio,
+            )
+            return s2, base + n_new
+
+        ok = (nb >= 0) & (base + max_new <= P)
+        return jax.lax.cond(ok, do, lambda a: a, (s, base)), None
+
+    (state, end), _ = jax.lax.scan(body, (state, pt_base), neighbors)
+    return state, end - pt_base
 
 
 def keyframe_redundancy(

@@ -98,6 +98,8 @@ def compute_sim3(
     fix_scale: bool,
     key,
     min_inliers: int = 20,
+    scale_factor: float = 1.2,
+    n_levels: int = 8,
 ) -> tuple[bool, np.ndarray, np.ndarray, float, np.ndarray]:
     """Estimate S_cm mapping candidate-frame coords into current-frame.
 
@@ -146,16 +148,39 @@ def compute_sim3(
     )
     if not bool(result.success):
         return False, None, None, 1.0, None
-    # Horn refit on the RANSAC inliers, then the reference's joint
-    # bidirectional refinement (OptimizeSim3) over all matches
+    # Horn refit on the RANSAC inliers
     inl = np.asarray(result.inliers)
     idx = np.where(inl)[0]
     R_r, t_r, s_r = horn_sim3(
         jnp.asarray(np.asarray(p_c)[idx]), jnp.asarray(np.asarray(p_m)[idx]),
         fix_scale=fix_scale,
     )
+    # grow the BoW matches by mutual projection under the RANSAC Sim3
+    # (SearchBySim3, ORBmatcher.cc:1029-1245; called LoopClosing.cc:262)
+    # before the joint refinement — marginal loops start from ~20 BoW
+    # matches and need the grown set to clear the >= 20-inlier bar
+    existing_rows = res.mask
+    matched_col = jnp.zeros((N,), bool).at[
+        jnp.where(res.mask, res.idx, N)
+    ].set(True, mode="drop")
+    grow_rows, grow_cols = search_by_sim3(
+        state, cam, kf_cur, kf_cand,
+        R_r, t_r, jnp.asarray(s_r, jnp.float32),
+        existing_rows, matched_col,
+        scale_factor=scale_factor, n_levels=n_levels,
+    )
+    comb_idx = jnp.where(res.mask, res.idx,
+                         jnp.where(grow_cols >= 0, grow_cols, -1))
+    comb_mask = res.mask | (grow_cols >= 0)
+    ptm_idx = jnp.clip(jnp.take(pt_m, jnp.clip(comb_idx, 0)), 0)
+    p_m = se3.transform(Tm, state.pt_pos[ptm_idx])
+    xy_m = state.kf_xy[kf_cand][jnp.clip(comb_idx, 0)]
+    xn_m = jnp.stack(
+        [(xy_m[:, 0] - cam.cx) / cam.fx, (xy_m[:, 1] - cam.cy) / cam.fy], axis=1
+    )
+    # joint bidirectional refinement (OptimizeSim3) over the grown set
     R_o, t_o, s_o, inlier_o = optimize_sim3(
-        p_c, p_m, xn_c, xn_m, result.inliers,
+        p_c, p_m, xn_c, xn_m, comb_mask,
         R_r, t_r, jnp.asarray(s_r, jnp.float32),
         fix_scale=fix_scale,
         inv_sigma2=float(cam.fx) ** 2,
@@ -169,6 +194,105 @@ def compute_sim3(
         [np.asarray(ptc_idx)[idx], np.asarray(ptm_idx)[idx]], axis=1
     )
     return True, np.asarray(R_o), np.asarray(t_o), float(s_o), pairs
+
+
+def search_by_sim3(
+    state,
+    cam,
+    kf_cur: int,
+    kf_cand: int,
+    R_cm, t_cm, s_cm,          # current Sim3 estimate: cand-frame -> cur-frame
+    existing_rows,             # (N,) bool — cur features already matched (kept)
+    existing_cols,             # (N,) bool — cand features already matched
+    *,
+    th: float = 7.5,           # search radius factor (LoopClosing.cc:262)
+    max_dist: int = 100,       # TH_HIGH (ORBmatcher.cc:1156, 1204)
+    scale_factor: float = 1.2,
+    n_levels: int = 8,
+):
+    """Grow loop matches by mutual projection under the current Sim3
+    (ORBmatcher::SearchBySim3, ORBmatcher.cc:1029-1245).
+
+    Projects each keyframe's landmarks into the other image through
+    S_cm / S_mc, windows by the predicted octave's radius, and keeps
+    mutually-agreeing descriptor matches among features not already matched.
+    Returns (rows, cols) int32 arrays of new feature pairs (-1 padded, N).
+    """
+    K, N, P, O = state.capacity
+    from ..models.map_state import predict_scale
+
+    Tc = state.kf_pose[kf_cur]
+    Tm = state.kf_pose[kf_cand]
+    pt_c = state.kf_point_idx[kf_cur]
+    pt_m = state.kf_point_idx[kf_cand]
+    has_c = (
+        (pt_c >= 0) & state.kf_feat_valid[kf_cur]
+        & jnp.take(state.pt_valid, jnp.clip(pt_c, 0)) & ~existing_rows
+    )
+    has_m = (
+        (pt_m >= 0) & state.kf_feat_valid[kf_cand]
+        & jnp.take(state.pt_valid, jnp.clip(pt_m, 0)) & ~existing_cols
+    )
+    sf = jnp.asarray([scale_factor ** i for i in range(n_levels)], jnp.float32)
+
+    def project(p_cam):
+        z = jnp.maximum(p_cam[:, 2], 1e-6)
+        u = cam.fx * p_cam[:, 0] / z + cam.cx
+        v = cam.fy * p_cam[:, 1] / z + cam.cy
+        ok = (
+            (p_cam[:, 2] > 1e-3) & (u >= 0) & (u < cam.width)
+            & (v >= 0) & (v < cam.height)
+        )
+        return jnp.stack([u, v], axis=1), ok, jnp.linalg.norm(p_cam, axis=1)
+
+    # direction 1: cand landmarks -> cur image (rows = cur, cols = cand)
+    p_m_cam = se3.transform(Tm, state.pt_pos[jnp.clip(pt_m, 0)])
+    p_m_in_c = sim3.apply(R_cm, t_cm, s_cm, p_m_cam)
+    uv_m_in_c, ok_m, dist_m = project(p_m_in_c)
+    pred_m = predict_scale(
+        dist_m, jnp.take(state.pt_max_dist, jnp.clip(pt_m, 0)) * s_cm,
+        scale_factor, n_levels,
+    )
+    r_m = th * jnp.take(sf, jnp.clip(pred_m, 0, n_levels - 1))
+    geo1 = M.window_mask(uv_m_in_c, state.kf_xy[kf_cur], r_m).T   # (Nc, Nm)
+    # octave band of the predicted level (ORBmatcher.cc:1137-1142)
+    band1 = M.octave_band_mask(pred_m, state.kf_octave[kf_cur], -1, 0).T
+
+    # direction 2: cur landmarks -> cand image
+    R_mc, t_mc, s_mc = sim3.inverse(R_cm, t_cm, jnp.asarray(s_cm, jnp.float32))
+    p_c_cam = se3.transform(Tc, state.pt_pos[jnp.clip(pt_c, 0)])
+    p_c_in_m = sim3.apply(R_mc, t_mc, s_mc, p_c_cam)
+    uv_c_in_m, ok_c, dist_c = project(p_c_in_m)
+    pred_c = predict_scale(
+        dist_c, jnp.take(state.pt_max_dist, jnp.clip(pt_c, 0)) * s_mc,
+        scale_factor, n_levels,
+    )
+    r_c = th * jnp.take(sf, jnp.clip(pred_c, 0, n_levels - 1))
+    geo2 = M.window_mask(uv_c_in_m, state.kf_xy[kf_cand], r_c)    # (Nc, Nm)
+    band2 = M.octave_band_mask(pred_c, state.kf_octave[kf_cand], -1, 0)
+
+    dmat = hamming(state.kf_desc[kf_cur], state.kf_desc[kf_cand])
+    valid_pair = has_c[:, None] & has_m[None, :]
+    m1 = valid_pair & geo1 & band1 & (ok_m[None, :])
+    m2 = valid_pair & geo2 & band2 & (ok_c[:, None])
+
+    d1 = jnp.where(m1, dmat, M.BIG)
+    d2 = jnp.where(m2, dmat, M.BIG)
+    best_row_for_col = jnp.argmin(d1, axis=0)                 # (Nm,)
+    col_ok = jnp.min(d1, axis=0) <= max_dist
+    best_col_for_row = jnp.argmin(d2, axis=1)                 # (Nc,)
+    row_ok = jnp.min(d2, axis=1) <= max_dist
+
+    # mutual agreement (ORBmatcher.cc:1226-1243)
+    rows = jnp.arange(N, dtype=jnp.int32)
+    agree = (
+        row_ok
+        & jnp.take(col_ok, best_col_for_row)
+        & (jnp.take(best_row_for_col, best_col_for_row) == rows)
+    )
+    new_rows = jnp.where(agree, rows, -1)
+    new_cols = jnp.where(agree, best_col_for_row.astype(jnp.int32), -1)
+    return new_rows, new_cols
 
 
 def build_essential_graph_edges(

@@ -115,28 +115,30 @@ def covisibility_matrix(state: MapState) -> jax.Array:
     K, N, P, O = state.capacity
     kf = state.pt_obs_kf                          # (P, O)
     valid = (kf >= 0) & state.pt_valid[:, None]
-    kfc = jnp.clip(kf, 0)
+    kfc = jnp.where(valid, kf, -1)
 
     chunk = min(_COVIS_CHUNK, P)
     n_chunks = -(-P // chunk)
     pad = n_chunks * chunk - P
     if pad:
-        kfc = jnp.pad(kfc, ((0, pad), (0, 0)))
-        valid = jnp.pad(valid, ((0, pad), (0, 0)))
+        kfc = jnp.pad(kfc, ((0, pad), (0, 0)), constant_values=-1)
 
-    rows = jnp.arange(chunk)[:, None]
+    ids = jnp.arange(K, dtype=jnp.int32)
 
-    def body(carry, args):
-        kf_c, ok_c = args                         # (chunk, O)
-        B = jnp.zeros((chunk, K), jnp.float32).at[rows, kf_c].add(
-            ok_c.astype(jnp.float32)
-        )
+    def body(carry, kf_c):                        # kf_c: (chunk, O)
+        # incidence B via vectorized one-hot compares (TPU scatter-add
+        # serializes; compare+sum stays on the VPU at full lane width).
+        # Accumulate per observation slot so no (chunk, O, K) temporary
+        # is materialized.
+        B = jnp.zeros((kf_c.shape[0], K), jnp.float32)
+        for o in range(O):
+            B = B + (kf_c[:, o, None] == ids[None, :]).astype(jnp.float32)
         return carry + B.T @ B, None
 
     W, _ = jax.lax.scan(
         body,
         jnp.zeros((K, K), jnp.float32),
-        (kfc.reshape(n_chunks, chunk, O), valid.reshape(n_chunks, chunk, O)),
+        kfc.reshape(n_chunks, chunk, O),
     )
     W = W.astype(jnp.int32)
     return W * (1 - jnp.eye(K, dtype=jnp.int32))

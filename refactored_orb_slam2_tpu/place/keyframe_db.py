@@ -116,7 +116,12 @@ def detect_loop_candidates(
     K = db.bow.shape[0]
     scores = db.scores(query_bow)
     neighbor = covis[query_kf] > 0
-    min_score_pool = jnp.where(neighbor, scores, jnp.inf)
+    # minScore pool = the *connected* neighbors (weight >= 15, the
+    # reference's GetVectorCovisibleKeyFrames, KeyFrame.cc:310 +
+    # LoopClosing.cc:112-129); barely-overlapping keyframes would drag the
+    # floor down to the noise level and flood the candidate set
+    connected = covis[query_kf] >= 15
+    min_score_pool = jnp.where(connected, scores, jnp.inf)
     min_score = jnp.minimum(jnp.min(min_score_pool), 1.0)
     min_score = jnp.where(jnp.isfinite(min_score), min_score, 0.0)
 

@@ -194,15 +194,27 @@ class SlamSystem:
         )
         # same program with a candidate-point mask (SearchAndFuse)
         self._jit_fuse_masked = self._jit_fuse
+        self._jit_fuse_multi = jax.jit(
+            LM.fuse_into_keyframes,
+            static_argnames=("budget", "scale_factor", "n_levels", "th", "max_dist"),
+        )
         self._jit_cull = jax.jit(
             LM.cull_map_points, static_argnames=("recent_window",)
         )
         self._jit_kf_redundancy = jax.jit(
             LM.keyframe_redundancy, static_argnames=("min_obs",)
         )
+        self._jit_kf_redundancy_batch = jax.jit(
+            jax.vmap(lambda m, c: LM.keyframe_redundancy(m, c), (None, 0))
+        )
         self._jit_remove_kf = jax.jit(LM.remove_keyframe)
         self._jit_triangulate = jax.jit(
             LM.triangulate_with_neighbor,
+            static_argnames=("max_new", "scale_factor", "n_levels",
+                             "min_baseline_ratio"),
+        )
+        self._jit_triangulate_multi = jax.jit(
+            LM.triangulate_with_neighbors,
             static_argnames=("max_new", "scale_factor", "n_levels",
                              "min_baseline_ratio"),
         )
@@ -1072,21 +1084,28 @@ class SlamSystem:
 
     def _mapping_core(self, kf_slot: int):
         """The LocalMapping::Run body (LocalMapping.cc:44-104): triangulate,
-        fuse, cull, refresh statistics, local BA, keyframe culling."""
+        fuse, cull, refresh statistics, local BA, keyframe culling.
+
+        The covisibility matrix is computed once per keyframe and shared by
+        every stage (the reference's UpdateConnections caches neighbor lists
+        the same way, KeyFrame.cc:134-153); stages that change the
+        observation graph only strengthen the current keyframe's own edges,
+        which no later stage's neighbor query depends on exactly."""
+        covis = np.asarray(self._jit_covis(self.map))
         # triangulate new landmarks with covisible neighbours
         # (CreateNewMapPoints; mono's only source of new points)
-        self._triangulate_new_points(kf_slot)
+        self._triangulate_new_points(kf_slot, covis=covis)
         # fuse duplicates (SearchInNeighbors) and cull weak points
-        self._fuse_neighbors(kf_slot)
+        self._fuse_neighbors(kf_slot, covis=covis)
         self.map = self._jit_cull(self.map, jnp.int32(kf_slot))
         self.map = self._jit_update_stats(
             self.map, scale_factor=self.cfg.orb.scale_factor,
             n_levels=self.cfg.orb.n_levels,
         )
-        self._local_ba(kf_slot)
-        self._cull_keyframes(kf_slot)
+        self._local_ba(kf_slot, covis=covis)
+        self._cull_keyframes(kf_slot, covis=covis)
 
-    def _fuse_neighbors(self, kf_slot: int):
+    def _fuse_neighbors(self, kf_slot: int, covis=None):
         """SearchInNeighbors (LocalMapping.cc:425-509): both-direction
         landmark fusion over the 1st ring (10 covisible neighbors; 20 for
         monocular) plus each neighbor's 5-neighbor 2nd ring — the current
@@ -1094,7 +1113,8 @@ class SlamSystem:
         landmarks into the current keyframe."""
         if self.n_kf < 2:
             return
-        covis = np.asarray(self._jit_covis(self.map))
+        if covis is None:
+            covis = np.asarray(self._jit_covis(self.map))
         kf_valid = np.asarray(self.map.kf_valid)
         nn = self.cfg.map.fuse_neighbors or (
             20 if self.sensor == "monocular" else 10
@@ -1114,17 +1134,20 @@ class SlamSystem:
         if not targets:
             return
         K, N, P, O = self.map.capacity
-        # direction 1: this keyframe's landmarks into each target
+        # direction 1: this keyframe's landmarks into each target — all
+        # targets in ONE scanned program (one dispatch, not ~25)
         cur_pt = self.map.kf_point_idx[kf_slot]
         scatter = jnp.where(cur_pt >= 0, cur_pt, P)
         cur_mask = jnp.zeros(P, bool).at[scatter].set(True, mode="drop")
         cur_mask = cur_mask & self.map.pt_valid
-        for t in targets:
-            self.map = self._jit_fuse_masked(
-                self.map, jnp.int32(t), self.cam, cur_mask,
-                budget=1024, scale_factor=self.cfg.orb.scale_factor,
-                n_levels=self.cfg.orb.n_levels,
-            )
+        t_cap = 6 * nn   # first ring + 5-neighbor second rings, padded
+        slots = np.full(t_cap, -1, np.int32)
+        slots[:min(len(targets), t_cap)] = targets[:t_cap]
+        self.map = self._jit_fuse_multi(
+            self.map, jnp.asarray(slots), self.cam, cur_mask,
+            budget=1024, scale_factor=self.cfg.orb.scale_factor,
+            n_levels=self.cfg.orb.n_levels,
+        )
         # direction 2: all targets' landmarks into this keyframe
         tgt_kf = np.zeros(K, bool)
         tgt_kf[targets] = True
@@ -1138,7 +1161,8 @@ class SlamSystem:
             n_levels=self.cfg.orb.n_levels,
         )
 
-    def _triangulate_new_points(self, kf_slot: int, n_neighbors: int = 0):
+    def _triangulate_new_points(self, kf_slot: int, n_neighbors: int = 0,
+                                covis=None):
         if self.n_kf < 2:
             return
         if not n_neighbors:
@@ -1147,30 +1171,32 @@ class SlamSystem:
             n_neighbors = self.cfg.map.triangulate_neighbors or (
                 20 if self.sensor == "monocular" else 10
             )
-        covis = self._jit_covis(self.map)
+        if covis is None:
+            covis = self._jit_covis(self.map)
         row = np.asarray(covis[kf_slot])
-        neighbors = np.argsort(-row)[:n_neighbors]
+        order = np.argsort(-row)[:n_neighbors]
+        neighbors = np.full(n_neighbors, -1, np.int32)
+        sel = order[row[order] > 15]
+        neighbors[: len(sel)] = sel
         # mono requires a baseline >= 1% of median depth (LocalMapping.cc:219)
         min_bl = 0.01 if self.sensor == "monocular" else 0.005
         cap = self.map.pt_pos.shape[0]
-        for nb in neighbors:
-            if self.n_pt >= cap - 64:
-                telemetry.warn(
-                    "pt_capacity",
-                    f"map-point bank full ({self.n_pt}/{cap}) — triangulation "
-                    "suspended; raise MapConfig.max_points",
-                )
-                break
-            if row[nb] <= 15:
-                continue
-            self.map, n_new = self._jit_triangulate(
-                self.map, jnp.int32(kf_slot), jnp.int32(int(nb)), self.cam,
-                jnp.int32(self.n_pt), max_new=64,
-                scale_factor=self.cfg.orb.scale_factor,
-                n_levels=self.cfg.orb.n_levels,
-                min_baseline_ratio=min_bl,
+        # all neighbors triangulated in ONE scanned program; the kernel stops
+        # allocating when the bank can't hold another max_new batch
+        self.map, n_new = self._jit_triangulate_multi(
+            self.map, jnp.int32(kf_slot), jnp.asarray(neighbors), self.cam,
+            jnp.int32(self.n_pt), max_new=64,
+            scale_factor=self.cfg.orb.scale_factor,
+            n_levels=self.cfg.orb.n_levels,
+            min_baseline_ratio=min_bl,
+        )
+        self.n_pt += int(n_new)
+        if self.n_pt >= cap - 64:
+            telemetry.warn(
+                "pt_capacity",
+                f"map-point bank full ({self.n_pt}/{cap}) — triangulation "
+                "suspended; raise MapConfig.max_points",
             )
-            self.n_pt += int(n_new)
 
     # ------------------------------------------------------------ local BA
     def _run_ba_chunked(
@@ -1267,12 +1293,13 @@ class SlamSystem:
             self.map, result.kf_poses, result.points, result.obs_valid, prob
         )
 
-    def _local_ba(self, kf_slot: int):
+    def _local_ba(self, kf_slot: int, covis=None):
         """Covisibility-window BA (Optimizer::LocalBundleAdjustment),
         interruptible by the tracker's abort flag in async mode."""
         if self.n_kf < 3:
             return
-        covis = self._jit_covis(self.map)
+        if covis is None:
+            covis = self._jit_covis(self.map)
         row = np.asarray(covis[kf_slot])
         window = np.zeros(row.shape[0], bool)
         window[kf_slot] = True
@@ -1412,21 +1439,43 @@ class SlamSystem:
             # tracker re-anchors at its next frame boundary
             self._pending_pose_jump = int(self.ref_kf)
 
-    def _cull_keyframes(self, kf_slot: int):
+    def _cull_keyframes(self, kf_slot: int, covis=None):
         """KeyFrameCulling: drop covisible keyframes with >= 90% redundant
-        landmarks (LocalMapping.cc:595-655)."""
+        landmarks (LocalMapping.cc:595-655).
+
+        All candidates' redundancy ratios are evaluated in ONE batched
+        program (vmapped keyframe_redundancy); ratios are re-evaluated only
+        when an earlier candidate in the same round was actually culled
+        (culling removes observations, which can only lower other ratios)."""
         if self.n_kf < 5:
             return
-        covis = np.asarray(self._jit_covis(self.map))
+        if covis is None:
+            covis = np.asarray(self._jit_covis(self.map))
         candidates = np.where(covis[kf_slot] >= 15)[0]
+        candidates = [
+            int(c) for c in candidates
+            if c != 0 and c != kf_slot and c != self.ref_kf
+        ]
+        if not candidates:
+            return
+        # pad to a fixed batch so the vmapped program compiles once
+        cap = 32
+        candidates = candidates[:cap]
+        padded = np.zeros(cap, np.int32)
+        padded[: len(candidates)] = candidates
+        ratios = np.asarray(
+            self._jit_kf_redundancy_batch(self.map, jnp.asarray(padded))
+        )[: len(candidates)]
         parents = np.asarray(self.map.kf_parent)
-        for cand in candidates:
-            cand = int(cand)
-            if cand == 0 or cand == kf_slot or cand == self.ref_kf:
-                continue
-            ratio = float(self._jit_kf_redundancy(self.map, jnp.int32(cand)))
+        culled_this_round = False
+        for cand, ratio in zip(candidates, ratios):
             if ratio < 0.9:
                 continue
+            if culled_this_round:
+                # a prior cull changed the observation graph; re-check
+                ratio = float(self._jit_kf_redundancy(self.map, jnp.int32(cand)))
+                if ratio < 0.9:
+                    continue
             parent = int(parents[cand])
             if parent < 0:
                 continue
@@ -1444,6 +1493,7 @@ class SlamSystem:
             if self.db is not None:
                 self.db.erase(cand)
             parents = np.asarray(self.map.kf_parent)
+            culled_this_round = True
 
     # -------------------------------------------------------- relocalization
     def _reloc_rescue(self, frame, pose, cand, pt_idx, th, max_dist):
@@ -1572,6 +1622,8 @@ class SlamSystem:
                 fix_scale=self.sensor != "monocular",
                 key=jax.random.PRNGKey(self.frame_id),
                 min_inliers=self.cfg.loop.min_bow_matches,
+                scale_factor=self.cfg.orb.scale_factor,
+                n_levels=self.cfg.orb.n_levels,
             )
             if not ok:
                 continue

@@ -46,23 +46,51 @@ def _hash2(ix, iy, seed):
     return h.astype(jnp.float32) * jnp.float32(1.0 / 4294967296.0)
 
 
-_OCTAVES = ((1.6, 0.14), (0.45, 0.16), (0.13, 0.16), (0.036, 0.12))
+_OCTAVES = ((4.5, 0.12), (1.6, 0.14), (0.45, 0.16), (0.13, 0.16), (0.036, 0.12))
+
+
+def _aa_cells(u, v, cell, seed, foot):
+    """Anti-aliased 2D block noise: flat cells with smoothstep edges whose
+    screen-space width tracks the pixel footprint.
+
+    Hard-edged value noise decorrelates ORB descriptors under sub-pixel
+    viewpoint change (each sample sits on an aliased edge that jumps between
+    neighbors); widening the edge to ~1.4 pixels makes the rendered signal
+    band-limited like a real camera's optics, so descriptors of true
+    correspondences stay close across frames.
+    """
+    # cell centers at integer lattice coords; transitions at half-integers
+    w = jnp.clip(foot / cell * 0.7, 0.02, 0.5)       # half-width, cell units
+    x = u / cell + 0.5
+    y = v / cell + 0.5
+    ix = jnp.floor(x).astype(jnp.int32)
+    iy = jnp.floor(y).astype(jnp.int32)
+    tx = jnp.clip((x - ix.astype(jnp.float32) - 0.5) / (2.0 * w) + 0.5, 0.0, 1.0)
+    ty = jnp.clip((y - iy.astype(jnp.float32) - 0.5) / (2.0 * w) + 0.5, 0.0, 1.0)
+    tx = tx * tx * (3.0 - 2.0 * tx)
+    ty = ty * ty * (3.0 - 2.0 * ty)
+    r00 = _hash2(ix - 1, iy - 1, seed)
+    r10 = _hash2(ix, iy - 1, seed)
+    r01 = _hash2(ix - 1, iy, seed)
+    r11 = _hash2(ix, iy, seed)
+    top = r00 + (r10 - r00) * tx
+    bot = r01 + (r11 - r01) * tx
+    return top + (bot - top) * ty
 
 
 def _blocky_texture(u, v, seed, footprint):
     """Band-limited multi-octave block texture.
 
-    Hard cell edges give FAST corners at cell intersections; each octave
+    Anti-aliased cell edges give FAST corners at cell intersections while
+    staying stable under sub-pixel view change; each octave additionally
     fades out once the pixel footprint (meters/pixel at the hit) approaches
-    its cell size, mimicking a real camera's optical band-limit and avoiding
-    the aliasing shimmer that would destabilize descriptors across views.
+    its cell size, mimicking a real camera's optical band-limit.
     """
     val = jnp.full(u.shape, 0.55, jnp.float32)
+    foot = jnp.maximum(footprint, 1e-6)
     for k, (cell, amp) in enumerate(_OCTAVES):
-        w = jnp.clip(cell / jnp.maximum(footprint, 1e-6) * 0.45 - 0.5, 0.0, 1.0)
-        r = _hash2(jnp.floor(u / cell).astype(jnp.int32),
-                   jnp.floor(v / cell).astype(jnp.int32),
-                   seed * 7 + k)
+        w = jnp.clip(cell / foot * 0.30, 0.0, 1.0)
+        r = _aa_cells(u, v, cell, jnp.asarray(seed * 7 + k, jnp.int32), foot)
         val = val + amp * w * (r - 0.5) * 2.0
     return val
 
@@ -280,20 +308,40 @@ def scene_street(seed=23, block=60.0, road_w=14.0) -> World3D:
 
     b = block / 2.0
     surfs += facades(-b + 4, -b + 4, b - 4, b - 4, rng.uniform(8, 14), seed * 10)
+    road_outer = L / 2 + half           # outer edge of the square road ring
     for i in range(10):
         ang = i / 10.0 * 2 * np.pi
-        r = L / 2 + half + rng.uniform(6, 16)
-        cx, cy = r * np.cos(ang), r * np.sin(ang)
         w_, d_ = rng.uniform(10, 22), rng.uniform(8, 18)
+        # place centers on the square ring outside the road: project the
+        # direction onto the unit square boundary so the building's nearest
+        # face clears the road's outer edge by >= 1.5 m regardless of angle
+        # (a Euclidean ring lets large boxes jut into the road at mid-leg)
+        dx, dy = np.cos(ang), np.sin(ang)
+        s_ = 1.0 / max(abs(dx), abs(dy))
+        m = max(w_, d_) / 2.0
+        rc = road_outer + 1.5 + m + rng.uniform(0, 8)
+        cx, cy = dx * s_ * rc, dy * s_ * rc
         surfs += facades(cx - w_ / 2, cy - d_ / 2, cx + w_ / 2, cy + d_ / 2,
                          rng.uniform(6, 12), seed * 10 + 11 * (i + 1))
-    for i in range(14):
+    # corner buildings on the four diagonals: during a turn the camera looks
+    # straight at the corner, and a texture gap there starves matching for
+    # several consecutive frames (the ring above samples 36-degree steps and
+    # misses the 45+90k diagonals)
+    for i, ang in enumerate((0.25, 0.75, 1.25, 1.75)):
+        dx, dy = np.cos(ang * np.pi), np.sin(ang * np.pi)
+        w_, d_ = rng.uniform(12, 18), rng.uniform(10, 16)
+        m = max(w_, d_) / 2.0
+        rc = road_outer + 1.5 + m
+        cx, cy = dx * np.sqrt(2.0) * rc, dy * np.sqrt(2.0) * rc
+        surfs += facades(cx - w_ / 2, cy - d_ / 2, cx + w_ / 2, cy + d_ / 2,
+                         rng.uniform(7, 12), seed * 10 + 501 + 13 * i)
+    for i in range(28):
         leg = rng.integers(0, 4)
         along = rng.uniform(-b, b)
-        # keep parked boxes clear of the centerline the camera drives
-        # (centerline radius = b + half): inner or outer road edge only
-        side = 1.0 if rng.uniform() < 0.5 else -1.0
-        lat = (b + half) + side * rng.uniform(3.5, 6.0)
+        # parked boxes go on the OUTER side of the road only: the rounded
+        # corners (traj_street_loop smoothing) cut several meters inside the
+        # centerline, so inner-side boxes would end up in the camera's path
+        lat = (b + half) + rng.uniform(3.0, 5.5)
         if leg == 0:
             c = [along, -lat, 0.8]
         elif leg == 1:
@@ -371,9 +419,18 @@ def traj_room_orbit(n_frames, seed=5):
     return poses.astype(np.float64)
 
 
-def traj_street_loop(n_frames, block=60.0, road_w=14.0, seed=7):
-    """Drive the rectangular block loop once, closing back at the start
-    (KITTI-00-style loop closure)."""
+def traj_street_loop(n_frames, block=60.0, road_w=14.0, seed=7, smooth=45,
+                     laps=1.0):
+    """Drive the rectangular block loop, closing back at the start
+    (KITTI-00-style loop closure).
+
+    ``smooth`` sets the corner-rounding window in waypoints (of 200): the
+    default spreads each 90-degree turn over ~smooth/200 of the path so the
+    yaw rate stays in the range of real automotive motion (KITTI turns at
+    <= ~2 deg/frame at 10 fps; harsher values are for stress tests).
+    ``laps`` > 1 keeps driving past the closure point (the path is closed,
+    so arclength wraps smoothly) — loop-closure consistency gates need a few
+    keyframes *after* the revisit to fire (LoopClosing.cc:150-201)."""
     b = (block + road_w) / 2.0
     leg = np.linspace(-b, b, 50)
     wps = (
@@ -381,21 +438,24 @@ def traj_street_loop(n_frames, block=60.0, road_w=14.0, seed=7):
         [(x, b) for x in -leg] + [(-b, y) for y in -leg]
     )
     wps = np.asarray(wps)
-    k = 9
+    k = smooth
     pad = np.vstack([wps[-k:], wps, wps[:k]])
     kernel = np.ones(k) / k
     sx = np.convolve(pad[:, 0], kernel, "same")[k:-k]
     sy = np.convolve(pad[:, 1], kernel, "same")[k:-k]
     d = np.hypot(np.diff(sx), np.diff(sy))
     arc = np.concatenate([[0], np.cumsum(d)])
-    si = np.linspace(0, arc[-1], n_frames)
+    si = np.linspace(0, arc[-1] * laps, n_frames) % arc[-1]
     px = np.interp(si, arc, sx)
     py = np.interp(si, arc, sy)
     z = 1.65
     poses = []
     for i in range(n_frames):
+        # forward tangent; the last frame keeps looking along its arrival
+        # direction instead of snapping to a degenerate difference
         j = min(i + 1, n_frames - 1)
-        fwd = np.asarray([px[j] - px[i], py[j] - py[i], 0.0])
+        i0 = i if j > i else i - 1
+        fwd = np.asarray([px[j] - px[i0], py[j] - py[i0], 0.0])
         if np.linalg.norm(fwd) < 1e-9:
             fwd = np.asarray([1.0, 0, 0])
         eye = [px[i], py[i], z]

@@ -2,12 +2,24 @@
 full SlamSystem (detection via the corpus-trained vocabulary, 3-consistency
 chaining, Sim3, SearchAndFuse over the corrected group, LoopConnections,
 essential graph, GBA) and assert the loop is found and the drift corrected.
+
+The frames are rendered with the TRUE camera while the system tracks with a
+slightly miscalibrated one (+4 px focal, ~1.2% — a realistic calibration
+error).  Without it, stereo tracking on this circuit is so accurate that
+the tracker re-matches the old landmarks at the revisit, the new keyframes
+become covisible with the old ones, and loop *detection* is correctly
+suppressed (candidates must not be connected, KeyFrameDatabase.cc:91-99) —
+the reference behaves the same when there is nothing to correct.  The
+miscalibration accumulates real metric drift around the circuit, so the
+revisit exercises the genuine pipeline: BoW candidates over unconnected
+keyframes -> consistency chain -> Sim3 -> correction -> GBA.
 """
 
 import numpy as np
 import pytest
 
 from refactored_orb_slam2_tpu.system import SlamSystem
+from refactored_orb_slam2_tpu.geometry.camera import Camera
 from refactored_orb_slam2_tpu.utils.config import (
     CameraConfig, LoopConfig, MapConfig, ORBConfig, SystemConfig,
 )
@@ -16,13 +28,14 @@ from refactored_orb_slam2_tpu.utils.synthetic import ate_rmse
 
 
 BLOCK, ROAD_W = 22.0, 8.0
+DF = 4.0   # focal miscalibration (px) fed to the tracker
 
 
 def make_cfg():
     return SystemConfig(
         sensor="stereo",
         camera=CameraConfig(
-            fx=320.0, fy=320.0, cx=160.0, cy=120.0, bf=120.0,
+            fx=320.0 + DF, fy=320.0 + DF, cx=160.0, cy=120.0, bf=120.0,
             width=320, height=240, fps=10,
         ),
         orb=ORBConfig(n_features=600, n_levels=4),
@@ -38,13 +51,19 @@ def make_cfg():
 class TestLoopClosureE2E:
     def test_street_circuit_closes_loop(self):
         cfg = make_cfg()
+        cam_true = Camera.create(fx=320.0, fy=320.0, cx=160.0, cy=120.0,
+                                 bf=120.0, width=320, height=240)
         world = W.scene_street(seed=41, block=BLOCK, road_w=ROAD_W)
-        poses = W.traj_street_loop(110, block=BLOCK, road_w=ROAD_W, seed=41)
+        # 1.14 laps: the loop-consistency gate needs a few keyframes past
+        # the revisit point to chain 3 consistent detections
+        poses = W.traj_street_loop(
+            125, block=BLOCK, road_w=ROAD_W, seed=41, laps=125 / 110.0
+        )
         sys_ = SlamSystem(cfg)
         rng = np.random.default_rng(6)
         lost = 0
         for i, Tcw in enumerate(poses):
-            L, R = world.render_stereo(Tcw, sys_.cam, noise=2.0, rng=rng)
+            L, R = world.render_stereo(Tcw, cam_true, noise=2.0, rng=rng)
             if sys_.track_stereo(L, R, i * 0.1) is None:
                 lost += 1
         assert lost <= 2, f"lost {lost} frames on the circuit"
