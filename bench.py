@@ -8,6 +8,11 @@ synchronous keyframe-rate mapping (triangulation, fusion, culling, local
 BA) amortized into the run, at the reference's TUM configuration (640x480,
 1000 features).
 
+Scene: the raycast room world (utils/world3d.scene_room), a TUM-fr1/desk
+analog (textured desk cluster + walls at 0.5-5 m), orbited at handheld
+speed so the keyframe cadence matches the reference's on fr1/desk.  Frames
+are pre-rendered; only SLAM work is timed.
+
 Prints ONE JSON line.  Baseline: the reference runs real-time at the
 dataset rate (TUM 30 fps, mono_tum.cc:106-113 pacing), so
 ``vs_baseline = median_fps / 30``; BASELINE.md targets >= 2x reference.
@@ -31,15 +36,14 @@ def main():
     from refactored_orb_slam2_tpu.utils.config import (
         CameraConfig, MapConfig, ORBConfig, SystemConfig,
     )
-    from refactored_orb_slam2_tpu.utils.synthetic import SyntheticWorld
-    from refactored_orb_slam2_tpu.geometry import se3
+    from refactored_orb_slam2_tpu.utils import world3d as W
 
-    H, W = 480, 640
+    H, Wd = 480, 640
     cfg = SystemConfig(
         sensor="rgbd",
         camera=CameraConfig(
             fx=517.3, fy=516.5, cx=318.6, cy=255.3, bf=40.0,
-            width=W, height=H, fps=30,
+            width=Wd, height=H, fps=30,
         ),
         orb=ORBConfig(n_features=1000, n_levels=8),
         map=MapConfig(max_keyframes=512, max_points=65536, max_obs_per_point=32),
@@ -52,26 +56,22 @@ def main():
     if sys_.use_pallas:
         _pallas_selfcheck()
 
-    world = SyntheticWorld.create(
-        seed=0, n_points=900, x_range=(-8, 8), y_range=(-4, 4),
-        z_range=(2.5, 20.0), clear_tube=0.0,
-    )
+    n_frames = 160
+    world = W.scene_room(seed=11)
+    poses = W.traj_room_orbit(n_frames, seed=5, span=0.45 * np.pi)
     rng = np.random.default_rng(0)
-    step = np.asarray(se3.exp(jnp.asarray([0.04, 0, 0.01, 0, 0.004, 0],
-                                          jnp.float32)))
-    traj = [np.eye(4, dtype=np.float32)]
-    for _ in range(79):
-        traj.append(step @ traj[-1])
-
+    print("rendering frames...", file=sys.stderr, flush=True)
     frames = [
-        (world.render(T, sys_.cam, noise=2.0, rng=rng), world.render_depth(T, sys_.cam))
-        for T in traj
+        world.render(T, sys_.cam, want_depth=True, noise=2.0, rng=rng)
+        for T in poses
     ]
+    print("rendered; tracking...", file=sys.stderr, flush=True)
 
     times = []
     n_lost = 0
     t_map = 0.0
     n_kf0 = 0
+    times_warm_start = 0
     orig_pipeline = sys_._mapping_pipeline
 
     def timed_pipeline(kf):
@@ -88,11 +88,11 @@ def main():
         times.append(time.perf_counter() - t0)
         if pose is None:
             n_lost += 1
-        if i == 9:  # compile/warmup boundary
+        if i == 19:  # compile/warmup boundary
             times_warm_start = len(times)
             n_kf0 = sys_.n_kf
             t_map = 0.0
-        if (i + 1) % 20 == 0:
+        if (i + 1) % 40 == 0:
             print(f"  frame {i + 1}: {times[-1] * 1e3:.1f} ms", file=sys.stderr,
                   flush=True)
 
@@ -121,7 +121,8 @@ def main():
 
 def _pallas_selfcheck():
     """Assert the Pallas fused matcher agrees with the XLA path on the real
-    chip before timing anything."""
+    chip before timing anything: d1 always; i1 where the winner is unique;
+    d2 and the ratio gate on the full batch."""
     import jax.numpy as jnp
 
     from refactored_orb_slam2_tpu.ops.pallas_hamming import on_tpu
@@ -153,11 +154,27 @@ def _pallas_selfcheck():
     geo = geo & M.octave_band_mask(jnp.asarray(lvl_q), jnp.asarray(lvl_t), -1, 0)
     mask = geo & rv[:, None] & cv[None, :]
     dref = jnp.where(mask, dist, M.BIG)
-    d1_ref = jnp.min(dref, axis=1)
-    ok = np.asarray(d1) <= 256
-    assert np.array_equal(
-        np.asarray(d1)[ok], np.asarray(d1_ref)[ok]
-    ), "pallas kernel disagrees with the XLA matcher"
+    d1_ref, i1_ref, d2_ref = M.masked_best2(jnp.asarray(dist), mask)
+    d1, i1, d2 = np.asarray(d1), np.asarray(i1), np.asarray(d2)
+    d1_ref = np.asarray(d1_ref)
+    i1_ref = np.asarray(i1_ref)
+    d2_ref = np.asarray(d2_ref)
+    ok = d1 <= 256
+    assert np.array_equal(d1[ok], d1_ref[ok]), \
+        "pallas kernel d1 disagrees with the XLA matcher"
+    ok2 = ok & (d2 <= 256)
+    assert np.array_equal(d2[ok2], d2_ref[ok2]), \
+        "pallas kernel d2 disagrees with the XLA matcher"
+    uniq = ok & (d1 < d2)   # unique winner -> argmin well-defined
+    assert np.array_equal(i1[uniq], i1_ref[uniq]), \
+        "pallas kernel i1 disagrees with the XLA matcher"
+    # the ratio gate must pick the same rows on both paths
+    for ratio in (0.7, 0.9):
+        g_p = ok & (d1.astype(np.float32) < ratio * d2.astype(np.float32))
+        g_x = (d1_ref <= 256) & (
+            d1_ref.astype(np.float32) < ratio * d2_ref.astype(np.float32)
+        )
+        assert np.array_equal(g_p, g_x), f"ratio gate mismatch at {ratio}"
 
 
 if __name__ == "__main__":

@@ -77,7 +77,13 @@ def build_frame_rgbd(
     depth_factor: float = 1.0,
 ) -> FrameData:
     """RGB-D frame: depth looked up at raw keypoint coords, uR synthesized
-    (Frame.cc:648-666)."""
+    (Frame.cc:648-666).
+
+    ``depth_map`` is expected in METERS; ``depth_factor`` is a multiplicative
+    scale-to-meters for callers holding raw sensor units (pass 1/5000 for
+    raw TUM uint16 PNGs — the reciprocal of the reference's DepthMapFactor,
+    which it applies as convertTo(1/factor), Tracking.cc:211-218).  The
+    SlamSystem facade always feeds meters (loaders apply DepthMapFactor)."""
     feats = extract_orb(
         img,
         n_features=orb.n_features,

@@ -145,10 +145,11 @@ class SlamSystem:
                 lambda l, r: build_frame_stereo(l, r, cam, cfg.orb)
             )
         elif self.sensor == "rgbd":
+            # track_rgbd takes depth in METERS: dataset loaders apply
+            # DepthMapFactor (io/datasets.py), unlike the reference which
+            # converts inside GrabImageRGBD (Tracking.cc:206-219)
             self._jit_frame = jax.jit(
-                lambda im, d: build_frame_rgbd(
-                    im, d, cam, cfg.orb, cfg.tracking.depth_map_factor
-                )
+                lambda im, d: build_frame_rgbd(im, d, cam, cfg.orb)
             )
         else:
             self._jit_frame = jax.jit(lambda im: build_frame_mono(im, cam, cfg.orb))
@@ -258,15 +259,15 @@ class SlamSystem:
         def step(raw_a, raw_b,
                  last_xy, last_pt, last_octave, last_angle,
                  last_pose, velocity, have_vel,
-                 ref_kf,
-                 kf_pose, pt_pos, pt_valid, pt_desc, pt_normal,
-                 pt_min_dist, pt_max_dist, pt_visible, pt_found):
+                 ref_kf, min_obs,
+                 kf_pose, kf_valid, kf_point_idx, kf_feat_valid,
+                 pt_pos, pt_valid, pt_desc, pt_normal,
+                 pt_min_dist, pt_max_dist, pt_visible, pt_found,
+                 pt_obs_kf):
             if sensor == "stereo":
                 frame = build_frame_stereo(raw_a, raw_b, cam, cfg.orb)
             elif sensor == "rgbd":
-                frame = build_frame_rgbd(
-                    raw_a, raw_b, cam, cfg.orb, cfg.tracking.depth_map_factor
-                )
+                frame = build_frame_rgbd(raw_a, raw_b, cam, cfg.orb)
             else:
                 frame = build_frame_mono(raw_a, cam, cfg.orb)
 
@@ -331,6 +332,22 @@ class SlamSystem:
             tracked_close = jnp.sum((close & (pt2 >= 0)).astype(jnp.int32))
             untracked_close = jnp.sum((close & (pt2 < 0)).astype(jnp.int32))
 
+            # nRefMatches = reference keyframe's landmarks with >= min_obs
+            # observations (KeyFrame::TrackedMapPoints, Tracking.cc:899) —
+            # counting ALL landmarks would inflate the c2 ratio with
+            # fresh single-observation points and spam keyframes
+            obs_ok = (pt_obs_kf >= 0) & jnp.take(
+                kf_valid, jnp.clip(pt_obs_kf, 0)
+            )
+            n_obs = jnp.sum(obs_ok.astype(jnp.int32), axis=1)     # (P,)
+            ref_pt = kf_point_idx[ref_kf]
+            ref_has = (
+                (ref_pt >= 0) & kf_feat_valid[ref_kf]
+                & jnp.take(pt_valid, jnp.clip(ref_pt, 0))
+                & (jnp.take(n_obs, jnp.clip(ref_pt, 0)) >= min_obs)
+            )
+            ref_tracked = jnp.sum(ref_has.astype(jnp.int32))
+
             # relative-pose log entry (System.cc:372-390 semantics)
             Tcr = o2.Tcw @ se3.inv(kf_pose[ref_kf])
 
@@ -340,6 +357,7 @@ class SlamSystem:
                 n_map_inliers=o2.n_inliers,
                 tracked_close=tracked_close,
                 untracked_close=untracked_close,
+                ref_tracked=ref_tracked,
             )
             return (frame, o2.Tcw, Tcr, pt2, local.idx,
                     new_visible, new_found, scalars)
@@ -422,14 +440,17 @@ class SlamSystem:
             else jnp.eye(4, dtype=jnp.float32)
         )
         m = self.map
+        min_obs = 3 if self.n_kf > 2 else 2   # Tracking.cc:897
         frame, pose2, Tcr, pt2, local_idx, nvis, nfnd, sc = (
             self._jit_fused_track(
                 raw_a, raw_b,
                 last.xy, self.last_pt_idx, last.octave, last.angle,
                 self.last_pose, vel, jnp.asarray(have_vel),
-                jnp.int32(self.ref_kf), m.kf_pose,
+                jnp.int32(self.ref_kf), jnp.int32(min_obs),
+                m.kf_pose, m.kf_valid, m.kf_point_idx, m.kf_feat_valid,
                 m.pt_pos, m.pt_valid, m.pt_desc, m.pt_normal,
                 m.pt_min_dist, m.pt_max_dist, m.pt_visible, m.pt_found,
+                m.pt_obs_kf,
             )
         )
         pose_np, Tcr_np, s = jax.device_get((pose2, Tcr, sc))
@@ -448,6 +469,7 @@ class SlamSystem:
                 if len(self._pending_vis) > 64:
                     self._pending_vis.pop(0)
             close_counts = (int(s["tracked_close"]), int(s["untracked_close"]))
+            self._ref_matches = int(s["ref_tracked"])
         else:
             # TrackReferenceKeyFrame fallback + decomposed local map
             ok, pose, pt_idx = self._track_reference_keyframe(frame)
@@ -636,13 +658,23 @@ class SlamSystem:
     # ----------------------------------------------------------- sub-steps
 
     def _set_ref_kf(self, kf_slot: int):
-        """Update the reference keyframe and its cached landmark count
-        (used by NeedNewKeyFrame without a per-frame device sync)."""
+        """Update the reference keyframe and its tracked-landmark count
+        (KeyFrame::TrackedMapPoints(nMinObs): only landmarks with enough
+        observations count toward NeedNewKeyFrame's c2 ratio,
+        Tracking.cc:887-899).  The fused tracking program refreshes the
+        count live each frame; this host computation seeds it."""
         self.ref_kf = int(kf_slot)
-        self._ref_matches = int(jnp.sum(
-            ((self.map.kf_point_idx[self.ref_kf] >= 0)
-             & self.map.kf_feat_valid[self.ref_kf]).astype(jnp.int32)
-        ))
+        from .models.map_state import n_observations
+
+        min_obs = 3 if self.n_kf > 2 else 2
+        pt = self.map.kf_point_idx[self.ref_kf]
+        has = (
+            (pt >= 0)
+            & self.map.kf_feat_valid[self.ref_kf]
+            & jnp.take(self.map.pt_valid, jnp.clip(pt, 0))
+            & (jnp.take(n_observations(self.map), jnp.clip(pt, 0)) >= min_obs)
+        )
+        self._ref_matches = int(jnp.sum(has.astype(jnp.int32)))
 
     def _finish_vo_frame(self, frame, pose, pt_idx, timestamp):
         """Bookkeeping for a localization-only VO frame (no local map)."""
@@ -944,7 +976,14 @@ class SlamSystem:
         # reference-match count = points in ref KF, cached host-side at the
         # moments the reference keyframe changes (avoids a per-frame sync)
         ref_matches = self._ref_matches
-        th_ratio = 0.75 if self.sensor != "monocular" else 0.9
+        # thRefRatio (Tracking.cc:922-928): 0.4 with a near-empty map,
+        # 0.9 for monocular, 0.75 otherwise
+        if self.sensor == "monocular":
+            th_ratio = 0.9
+        elif self.n_kf < 2:
+            th_ratio = 0.4
+        else:
+            th_ratio = 0.75
 
         need_close = False
         if self.sensor != "monocular":

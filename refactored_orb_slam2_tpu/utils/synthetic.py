@@ -35,10 +35,13 @@ class SyntheticWorld:
         cls, seed=0, n_points=600,
         x_range=(-8.0, 8.0), y_range=(-3.0, 3.0), z_range=(2.0, 30.0),
         clear_tube: float = 1.5,
+        size_range=(0.15, 0.45),
     ):
         """``clear_tube`` keeps a corridor around the z-axis free of
         billboards (the camera path must not collide with the scene —
-        street-scene geometry, like the real benchmarks)."""
+        street-scene geometry, like the real benchmarks).  ``size_range``
+        scales billboard half-sizes to the scene scale (desk-scale worlds
+        need cm-size squares)."""
         rng = np.random.default_rng(seed)
         pts = np.stack(
             [
@@ -55,7 +58,7 @@ class SyntheticWorld:
                 clear_tube + np.abs(pts[inside, 0])
             )
         inten = rng.uniform(110, 250, n_points).astype(np.float32)
-        size = rng.uniform(0.15, 0.45, n_points).astype(np.float32)
+        size = rng.uniform(*size_range, n_points).astype(np.float32)
         # unique blocky texture per square: rBRIEF descriptors must differ
         # between squares (a flat square would alias every corner
         # descriptor), and blocks must be coarse enough that neighbouring

@@ -397,11 +397,15 @@ def _smooth_noise(n, scale, octaves=3, seed=0):
     return out / np.abs(out).max() * scale
 
 
-def traj_room_orbit(n_frames, seed=5):
+def traj_room_orbit(n_frames, seed=5, span=1.15 * np.pi):
     """Handheld sweep around the desk cluster: orbit segment + partial
     return, with translation bob and look-target wander (TUM fr1/desk
-    style)."""
-    ang0, span = -0.7 * np.pi, 1.15 * np.pi
+    style).
+
+    ``span`` is the total orbital sweep; pick it against ``n_frames`` so the
+    camera speed stays handheld (fr1/desk averages ~0.4 m/s; at a 2 m orbit
+    radius and 30 fps that is ~0.4 deg/frame)."""
+    ang0 = -0.7 * np.pi
     s = np.linspace(0, 1, n_frames)
     sweep = np.where(s < 0.8, s / 0.8, 1.0 - (s - 0.8) / 0.2 * 0.25)
     ang = ang0 + span * sweep

@@ -27,11 +27,14 @@ def main():
         map=MapConfig(max_keyframes=512, max_points=65536, max_obs_per_point=32),
     )
     sys_ = SlamSystem(cfg)
-    world = SyntheticWorld.create(seed=0, n_points=2000, x_range=(-12, 14),
-                                  y_range=(-5, 5), z_range=(2.5, 28.0),
-                                  clear_tube=0.0)
+    # TUM fr1/desk-scale world: content 0.8-5 m, handheld-speed motion,
+    # so the TUM camera's close-point threshold (ThDepth*bf/fx = 2.7 m)
+    # behaves as it does on the real dataset
+    world = SyntheticWorld.create(seed=0, n_points=1400, x_range=(-3.0, 4.5),
+                                  y_range=(-1.6, 1.6), z_range=(0.8, 5.0),
+                                  clear_tube=0.0, size_range=(0.04, 0.13))
     rng = np.random.default_rng(0)
-    step = np.asarray(se3.exp(jnp.asarray([0.04, 0, 0.01, 0, 0.004, 0], jnp.float32)))
+    step = np.asarray(se3.exp(jnp.asarray([0.02, 0, 0.004, 0, 0.003, 0], jnp.float32)))
     traj = [np.eye(4, dtype=np.float32)]
     for _ in range(79):
         traj.append(step @ traj[-1])
@@ -40,8 +43,13 @@ def main():
     last_sc = {}
 
     def spy(*args):
+        t0 = time.perf_counter()
         out = orig(*args)
+        t1 = time.perf_counter()
         last_sc["sc"] = {k: int(v) for k, v in out[-1].items()}
+        t2 = time.perf_counter()
+        last_sc["t_dispatch"] = (t1 - t0) * 1e3
+        last_sc["t_sync"] = (t2 - t1) * 1e3
         return out
 
     sys_._jit_fused_track = spy
@@ -59,8 +67,10 @@ def main():
         if not ok:
             lost += 1
         sc = last_sc["sc"]
+        td = last_sc.get("t_dispatch", 0.0)
+        ts_ = last_sc.get("t_sync", 0.0)
         print(f"f{i:3d} st={st0}->{sys_.state} ok={int(ok)} kf={sys_.n_kf} "
-              f"pt={sys_.n_pt} t={dt:6.1f}ms "
+              f"pt={sys_.n_pt} t={dt:6.1f}ms disp={td:5.1f} sync={ts_:6.1f} "
               + (f"mot={sc['n_motion']} inl1={sc['n_inl1']} map={sc['n_map_inliers']}"
                  if sc else ""), flush=True)
     print(f"lost={lost} stats={sys_.stats}")

@@ -38,7 +38,7 @@ def make_cfg():
             fx=320.0, fy=320.0, cx=160.0, cy=120.0, bf=120.0,
             width=320, height=240, fps=10,
         ),
-        orb=ORBConfig(n_features=600, n_levels=4),
+        orb=ORBConfig(n_features=1000, n_levels=4),
         map=MapConfig(
             max_keyframes=128, max_points=16384, max_obs_per_point=12,
             fuse_neighbors=4, triangulate_neighbors=4,
@@ -85,7 +85,9 @@ def main():
             f"f{i:3d} st={st_before}->{sys_.state} ok={int(ok)} "
             f"kf={sys_.n_kf}({'+' if sys_.n_kf > nkf0 else ''}) pt={sys_.n_pt} "
             + (f"mot={sc['n_motion']} inl1={sc['n_inl1']} "
-               f"map={sc['n_map_inliers']} " if sc else "")
+               f"map={sc['n_map_inliers']} ref={sc.get('ref_tracked','?')} "
+               f"tc={sc.get('tracked_close','?')}/{sc.get('untracked_close','?')} "
+               if sc else "")
             + err,
             flush=True,
         )

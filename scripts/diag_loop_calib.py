@@ -34,7 +34,7 @@ def main():
         sensor="stereo",
         camera=CameraConfig(fx=320.0 + DF, fy=320.0 + DF, cx=160.0, cy=120.0,
                             bf=120.0, width=320, height=240, fps=10),
-        orb=ORBConfig(n_features=600, n_levels=4),
+        orb=ORBConfig(n_features=1000, n_levels=4),
         map=MapConfig(max_keyframes=128, max_points=16384, max_obs_per_point=12,
                       fuse_neighbors=4, triangulate_neighbors=4),
         loop=LoopConfig(),

@@ -35,6 +35,13 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# honor an explicit platform request even though the container's
+# sitecustomize pre-registers the remote-TPU backend (env alone is too late)
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 from refactored_orb_slam2_tpu.utils import world3d as W
 from refactored_orb_slam2_tpu.utils.presets import get_preset
 from refactored_orb_slam2_tpu.utils.config import camera_from_config

@@ -124,6 +124,8 @@ def main():
     ap.add_argument("--per-image", type=int, default=800)
     ap.add_argument("--max-images", type=int, default=400)
     ap.add_argument("--out", required=True)
+    ap.add_argument("--binary-out", default=None,
+                    help="also write the reference's binary cache format")
     args = ap.parse_args()
 
     descs = collect_descriptors(args.images, args.per_image, args.max_images)
@@ -154,6 +156,42 @@ def main():
             dstr = " ".join(str(int(b)) for b in nd[2])
             f.write(f"{nd[0]} {1 if nd[1] else 0} {dstr} {w:.6f}\n")
     print(f"wrote {args.out}")
+    if args.binary_out:
+        text_to_binary(args.out, args.binary_out)
+        print(f"wrote {args.binary_out}")
+
+
+def text_to_binary(txt_path: str, bin_path: str):
+    """Convert the DBoW2 text vocabulary into the reference's binary cache
+    format (ORBVocabulary::saveToBinaryFile, ORBVocabulary.cc:218-243):
+    header (uint32 nb_nodes incl. root, uint32 size_node=41, int32 k, L,
+    scoring, weighting) then per node: int32 parent, 32 desc bytes,
+    float32 weight, uint8 is_leaf.
+
+    The reference example binaries load the vocabulary from a compile-time
+    DEFAULT_BINARY_ORB_VOCABULARY path (Source/CMakeLists.txt:26-31), so
+    baseline runs install this file at <Install>/var/lib/orbslam2/ORBvoc.bin.
+    """
+    import struct
+
+    with open(txt_path) as f:
+        k, L, scoring, weighting = (int(x) for x in f.readline().split())
+        nodes = []
+        for line in f:
+            v = line.split()
+            if not v:
+                continue
+            nodes.append((int(v[0]), bytes(int(x) for x in v[2:34]),
+                          float(v[34]), int(v[1])))
+    os.makedirs(os.path.dirname(os.path.abspath(bin_path)), exist_ok=True)
+    with open(bin_path, "wb") as f:
+        f.write(struct.pack("<IIiiii", len(nodes) + 1, 41, k, L,
+                            scoring, weighting))
+        for parent, desc, weight, is_leaf in nodes:
+            f.write(struct.pack("<i", parent))
+            f.write(desc)
+            f.write(struct.pack("<f", weight))
+            f.write(struct.pack("<B", 1 if is_leaf else 0))
 
 
 if __name__ == "__main__":

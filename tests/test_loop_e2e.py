@@ -38,7 +38,10 @@ def make_cfg():
             fx=320.0 + DF, fy=320.0 + DF, cx=160.0, cy=120.0, bf=120.0,
             width=320, height=240, fps=10,
         ),
-        orb=ORBConfig(n_features=600, n_levels=4),
+        # the reference's keyframe-decision thresholds are absolute counts
+        # tuned for its 1000-2000 feature budgets (NeedNewKeyFrame's
+        # 70/100 close-point bars, Tracking.cc:919); run the same budget
+        orb=ORBConfig(n_features=1000, n_levels=4),
         map=MapConfig(
             max_keyframes=128, max_points=16384, max_obs_per_point=12,
             fuse_neighbors=4, triangulate_neighbors=4,
