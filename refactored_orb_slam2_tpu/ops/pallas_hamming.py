@@ -37,9 +37,14 @@ def _kernel(a_ref, b_ref, mask_ref, d1_ref, i1_ref, d2_ref):
     def body(j, carry):
         d1, i1, d2 = carry
         b = b_ref[pl.ds(j * TILE_N2, TILE_N2), :]  # (T2, 256)
+        # precision pinned to DEFAULT: the operands are exact ±1-plane
+        # bf16 values (products and 256-wide sums are integer-exact), and
+        # Mosaic rejects an fp32-contract request on bf16 vectors when the
+        # session sets jax_default_matmul_precision=highest for geometry
         dots = jax.lax.dot_general(
             a, b, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
         )                                          # (T1, T2)
         dist = (DESC_BITS - dots) * 0.5
         m = mask_ref[:, pl.ds(j * TILE_N2, TILE_N2)]
@@ -138,9 +143,14 @@ def _match_kernel(
     def body(j, carry):
         d1, i1, d2 = carry
         b = b_ref[pl.ds(j * TILE_N2, TILE_N2), :]
+        # precision pinned to DEFAULT: the operands are exact ±1-plane
+        # bf16 values (products and 256-wide sums are integer-exact), and
+        # Mosaic rejects an fp32-contract request on bf16 vectors when the
+        # session sets jax_default_matmul_precision=highest for geometry
         dots = jax.lax.dot_general(
             a, b, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
         )
         dist = (DESC_BITS - dots) * 0.5
         ut = uvt_ref[:, pl.ds(j * TILE_N2, TILE_N2)]        # (2, T2)

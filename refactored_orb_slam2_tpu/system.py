@@ -61,6 +61,16 @@ class SlamSystem:
     trajectory with export_trajectory_tum/kitti."""
 
     def __init__(self, config: SystemConfig, async_mapping: bool = False):
+        # SLAM geometry needs full f32 matmuls: with the TPU default
+        # (bf16 inputs), pose-optimization normal equations and descriptor
+        # intensity differences lose enough precision that tracking margins
+        # collapse (verified on the TUM fixture: identical input tracks
+        # 600/600 on CPU f32 and loses 125 frames on-chip at bf16 default).
+        # MXU f32 costs ~3x bf16 on these small matmuls — negligible next
+        # to the correctness cliff.
+        import jax as _jax
+
+        _jax.config.update("jax_default_matmul_precision", "highest")
         self.cfg = config
         self.async_mapping = async_mapping
         self.cam: Camera = camera_from_config(config.camera)
