@@ -48,7 +48,7 @@ def main():
         orb=ORBConfig(n_features=1000, n_levels=8),
         map=MapConfig(max_keyframes=512, max_points=65536, max_obs_per_point=32),
     )
-    sys_ = SlamSystem(cfg)
+    sys_ = SlamSystem(cfg, pipelined=True)
 
     # Pallas-vs-XLA guard: the CI suite pins CPU, so exercise the TPU kernel
     # here where the real chip is visible (VERDICT r1: "pallas tests can
@@ -65,7 +65,20 @@ def main():
         world.render(T, sys_.cam, want_depth=True, noise=2.0, rng=rng)
         for T in poses
     ]
-    print("rendered; tracking...", file=sys.stderr, flush=True)
+    print("rendered; compile pre-roll...", file=sys.stderr, flush=True)
+
+    # compile pre-roll: drive enough frames (faster orbit -> denser
+    # keyframes) that every tracking AND mapping program compiles, then
+    # reset the map.  XLA compilation on the tunneled chip costs seconds
+    # per program; a steady-state throughput number must not charge them
+    # to individual frames.  The jit caches survive reset().
+    pre_poses = W.traj_room_orbit(30, seed=7, span=0.9 * np.pi)
+    for i, T in enumerate(pre_poses):
+        img, depth = world.render(T, sys_.cam, want_depth=True, noise=2.0,
+                                  rng=rng)
+        sys_.track_rgbd(img, depth, i / 30.0)
+    sys_.reset()
+    print("pre-roll done; tracking...", file=sys.stderr, flush=True)
 
     times = []
     n_lost = 0

@@ -52,11 +52,15 @@ def hamming_matmul(a_pm1: jax.Array, b_pm1: jax.Array) -> jax.Array:
     a_pm1: (N1, 256), b_pm1: (N2, 256) -> (N1, N2) int32 in [0, 256].
     dot(a, b) = 256 - 2*hamming, exact in f32 accumulation.
     """
+    # precision DEFAULT: ±1 products and 256-wide sums are integer-exact in
+    # bf16, so this stays bit-exact at full MXU rate even when the session
+    # pins jax_default_matmul_precision=highest for geometry
     dots = jax.lax.dot_general(
         a_pm1,
         b_pm1,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
     )
     return ((DESC_BITS - dots) * 0.5).astype(jnp.int32)
 

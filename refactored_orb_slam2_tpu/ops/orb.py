@@ -223,7 +223,15 @@ def extract_orb(
 
     n_raw = xs_all.shape[0]
     patches_raw = jax.vmap(slab_raw)(ys_all, xs_all).reshape(n_raw, PATCH * PATCH)
-    moments = patches_raw @ jnp.asarray(_ic_angle_weights())   # (N, 2)
+    # precision DEFAULT: intensity inputs round to bf16 (<=0.5 unit, below
+    # sensor noise); keeps the moment matmul at full MXU rate under the
+    # session's f32-geometry precision pin
+    moments = jax.lax.dot_general(
+        patches_raw, jnp.asarray(_ic_angle_weights()),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )                                                          # (N, 2)
     angle = jnp.degrees(jnp.arctan2(moments[:, 1], moments[:, 0]))
     angle = jnp.where(angle < 0, angle + 360.0, angle)
 
@@ -242,7 +250,8 @@ def extract_orb(
     patches = jax.vmap(slab)(ys_all, xs_all).reshape(n_kp, PATCH * PATCH)
     Wsel = jnp.asarray(_brief_selection_mats())          # (B, PATCH^2, 256)
     diff = jnp.einsum("nk,bkj->bnj", patches, Wsel,
-                      preferred_element_type=jnp.float32)
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.DEFAULT)
     bin_id = jnp.round(angle / (360.0 / ANGLE_BINS)).astype(jnp.int32) % ANGLE_BINS
     onehot = jax.nn.one_hot(bin_id, ANGLE_BINS, axis=0, dtype=diff.dtype)
     sel = jnp.einsum("bnj,bn->nj", diff, onehot)

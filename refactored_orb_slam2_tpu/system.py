@@ -46,6 +46,32 @@ class TrackState:
     LOST = 2
 
 
+# -------- compact host<->device frame encoding (transfer-bandwidth bound) ---
+def _encode_img(img) -> np.ndarray:
+    """Host-side: grayscale float [0,255] -> uint8 (0.25 MB more per frame
+    of quantization noise is ~0.5 intensity, far below sensor noise)."""
+    a = np.asarray(img)
+    if a.dtype == np.uint8:
+        return a
+    return np.clip(a, 0.0, 255.0).astype(np.uint8)
+
+
+def _encode_depth(depth) -> np.ndarray:
+    """Host-side: metric depth -> uint16 millimeters (1 mm / 65 m range)."""
+    a = np.asarray(depth)
+    if a.dtype == np.uint16:
+        return a
+    return np.clip(a * 1000.0, 0.0, 65535.0).astype(np.uint16)
+
+
+def _decode_img(x):
+    return x.astype(jnp.float32)
+
+
+def _decode_depth(x):
+    return x.astype(jnp.float32) * jnp.float32(1e-3)
+
+
 @dataclasses.dataclass
 class FrameLog:
     frame_id: int
@@ -60,7 +86,8 @@ class SlamSystem:
     initializer).  Feed frames with track_stereo/track_rgbd; read
     trajectory with export_trajectory_tum/kitti."""
 
-    def __init__(self, config: SystemConfig, async_mapping: bool = False):
+    def __init__(self, config: SystemConfig, async_mapping: bool = False,
+                 pipelined: bool = False):
         # SLAM geometry needs full f32 matmuls: with the TPU default
         # (bf16 inputs), pose-optimization normal equations and descriptor
         # intensity differences lose enough precision that tracking margins
@@ -73,6 +100,11 @@ class SlamSystem:
         _jax.config.update("jax_default_matmul_precision", "highest")
         self.cfg = config
         self.async_mapping = async_mapping
+        # lag-1 optimistic dispatch (SURVEY §7 "async dispatch ahead of
+        # frame arrival"): track_* returns the pose as a lazy device array
+        # and resolves the frame's gates while the next frame computes
+        self.pipelined = pipelined
+        self._inflight: list = []
         self.cam: Camera = camera_from_config(config.camera)
         self.sensor = config.sensor
 
@@ -150,19 +182,29 @@ class SlamSystem:
         cfg = self.cfg
         cam = self.cam
 
+        # frames cross host->device as uint8 intensities / uint16 millimeter
+        # depth (_compact_*): the tunnel serializes transfers with compute,
+        # and 2.4 MB of f32 per frame costs ~80 ms of wall time — compacting
+        # to 0.9 MB is below the sensor noise floor (0.5 intensity / 1 mm)
         if self.sensor == "stereo":
             self._jit_frame = jax.jit(
-                lambda l, r: build_frame_stereo(l, r, cam, cfg.orb)
+                lambda l, r: build_frame_stereo(
+                    _decode_img(l), _decode_img(r), cam, cfg.orb
+                )
             )
         elif self.sensor == "rgbd":
             # track_rgbd takes depth in METERS: dataset loaders apply
             # DepthMapFactor (io/datasets.py), unlike the reference which
             # converts inside GrabImageRGBD (Tracking.cc:206-219)
             self._jit_frame = jax.jit(
-                lambda im, d: build_frame_rgbd(im, d, cam, cfg.orb)
+                lambda im, d: build_frame_rgbd(
+                    _decode_img(im), _decode_depth(d), cam, cfg.orb
+                )
             )
         else:
-            self._jit_frame = jax.jit(lambda im: build_frame_mono(im, cam, cfg.orb))
+            self._jit_frame = jax.jit(
+                lambda im: build_frame_mono(_decode_img(im), cam, cfg.orb)
+            )
 
         self._jit_pose_opt = jax.jit(optimize_pose)
         self._jit_motion_match = jax.jit(
@@ -275,11 +317,15 @@ class SlamSystem:
                  pt_min_dist, pt_max_dist, pt_visible, pt_found,
                  pt_obs_kf):
             if sensor == "stereo":
-                frame = build_frame_stereo(raw_a, raw_b, cam, cfg.orb)
+                frame = build_frame_stereo(
+                    _decode_img(raw_a), _decode_img(raw_b), cam, cfg.orb
+                )
             elif sensor == "rgbd":
-                frame = build_frame_rgbd(raw_a, raw_b, cam, cfg.orb)
+                frame = build_frame_rgbd(
+                    _decode_img(raw_a), _decode_depth(raw_b), cam, cfg.orb
+                )
             else:
-                frame = build_frame_mono(raw_a, cam, cfg.orb)
+                frame = build_frame_mono(_decode_img(raw_a), cam, cfg.orb)
 
             pose0 = jnp.where(have_vel, velocity @ last_pose, last_pose)
 
@@ -361,15 +407,16 @@ class SlamSystem:
             # relative-pose log entry (System.cc:372-390 semantics)
             Tcr = o2.Tcw @ se3.inv(kf_pose[ref_kf])
 
-            scalars = dict(
-                n_motion=r.n_matches,
-                n_inl1=o1.n_inliers,
-                n_map_inliers=o2.n_inliers,
-                tracked_close=tracked_close,
-                untracked_close=untracked_close,
-                ref_tracked=ref_tracked,
-            )
-            return (frame, o2.Tcw, Tcr, pt2, local.idx,
+            # outputs the host reads every frame are PACKED into two leaves
+            # (one (6,) scalar vector + one (2,4,4) pose stack): device_get
+            # fetches per leaf, and each fetch pays a tunnel round trip —
+            # nine leaves cost ~40 ms/frame on the remote-TPU path
+            scalars = jnp.stack([
+                r.n_matches, o1.n_inliers, o2.n_inliers,
+                tracked_close, untracked_close, ref_tracked,
+            ]).astype(jnp.int32)
+            poses_out = jnp.stack([o2.Tcw, Tcr])
+            return (frame, poses_out, pt2, local.idx,
                     new_visible, new_found, scalars)
 
         self._jit_fused_track = jax.jit(step)
@@ -378,6 +425,7 @@ class SlamSystem:
     def activate_localization_mode(self):
         """Track against the frozen map without inserting keyframes
         (System::ActivateLocalizationMode, System.cc:311-319)."""
+        self.flush_pipeline()
         self.localization_only = True
 
     def deactivate_localization_mode(self):
@@ -405,6 +453,7 @@ class SlamSystem:
         self.loop_state = LC.LoopState()
         self._init_ref = None
         self._pending_vis = []
+        self._inflight = []
         self.abort_ba = False
         self.mb_vo = False
         self._stop_gba = True
@@ -413,14 +462,18 @@ class SlamSystem:
     # ------------------------------------------------------------- tracking
     def track_stereo(self, img_l, img_r, timestamp: float) -> Optional[np.ndarray]:
         return self._track_entry(
-            jnp.asarray(img_l), jnp.asarray(img_r), timestamp
+            jnp.asarray(_encode_img(img_l)), jnp.asarray(_encode_img(img_r)),
+            timestamp,
         )
 
     def track_rgbd(self, img, depth, timestamp: float) -> Optional[np.ndarray]:
-        return self._track_entry(jnp.asarray(img), jnp.asarray(depth), timestamp)
+        return self._track_entry(
+            jnp.asarray(_encode_img(img)), jnp.asarray(_encode_depth(depth)),
+            timestamp,
+        )
 
     def track_monocular(self, img, timestamp: float) -> Optional[np.ndarray]:
-        img = jnp.asarray(img)
+        img = jnp.asarray(_encode_img(img))
         return self._track_entry(img, img, timestamp)
 
     def _track_entry(self, raw_a, raw_b, timestamp: float):
@@ -433,7 +486,10 @@ class SlamSystem:
             self._pending_pose_jump = None
         if self.state == TrackState.OK and not self.localization_only:
             # steady-state: the whole per-frame path is ONE fused program
+            if self.pipelined:
+                return self._track_pipelined(raw_a, raw_b, timestamp)
             return self._track_fused(raw_a, raw_b, timestamp)
+        self.flush_pipeline()
         # init / lost / localization-only paths run the decomposed kernels
         if self.sensor == "monocular":
             frame = self._jit_frame(raw_a)
@@ -441,8 +497,9 @@ class SlamSystem:
             frame = self._jit_frame(raw_a, raw_b)
         return self._track(frame, timestamp)
 
-    def _track_fused(self, raw_a, raw_b, timestamp: float):
-        """Steady-state tracked frame: one dispatch, one device_get."""
+    def _dispatch_fused(self, raw_a, raw_b, timestamp: float) -> dict:
+        """Enqueue the fused per-frame program and return an unresolved
+        record (device arrays + the tracker state it was dispatched from)."""
         last = self.last_frame
         have_vel = self.velocity is not None
         vel = (
@@ -451,7 +508,7 @@ class SlamSystem:
         )
         m = self.map
         min_obs = 3 if self.n_kf > 2 else 2   # Tracking.cc:897
-        frame, pose2, Tcr, pt2, local_idx, nvis, nfnd, sc = (
+        frame, poses_out, pt2, local_idx, nvis, nfnd, sc = (
             self._jit_fused_track(
                 raw_a, raw_b,
                 last.xy, self.last_pt_idx, last.octave, last.angle,
@@ -463,29 +520,70 @@ class SlamSystem:
                 m.pt_obs_kf,
             )
         )
-        pose_np, Tcr_np, s = jax.device_get((pose2, Tcr, sc))
-        ok_motion = (
-            int(s["n_motion"]) >= 20
-            and int(s["n_inl1"]) >= self.cfg.tracking.min_inliers_track
+        return dict(
+            frame=frame, poses_out=poses_out, pt2=pt2, local_idx=local_idx,
+            nvis=nvis, nfnd=nfnd, sc=sc,
+            timestamp=timestamp, frame_id=self.frame_id,
+            prev_pose=self.last_pose, prev_frame=last,
+            prev_pt_idx=self.last_pt_idx, prev_velocity=self.velocity,
         )
+
+    def _commit_fused(self, rec: dict, *, optimistic: bool) -> Optional[np.ndarray]:
+        """Run the per-frame state machine on a (now resolved) fused record.
+
+        ``optimistic``: the tracker's last_* already point at this record's
+        outputs (pipelined mode) and must be ROLLED BACK to rec['prev_*']
+        before a fallback or a loss.  Returns the frame's pose (np) or None.
+        """
+        # two leaves only: each device_get leaf pays a tunnel round trip
+        poses_np, s = jax.device_get((rec["poses_out"], rec["sc"]))
+        pose_np, Tcr_np = poses_np[0], poses_np[1]
+        frame = rec["frame"]
+        timestamp = rec["timestamp"]
+        frame_id = rec["frame_id"]
+        n_motion, n_inl1, n_map, t_close, u_close, ref_tracked = (
+            int(x) for x in s
+        )
+        ok_motion = (
+            n_motion >= 20
+            and n_inl1 >= self.cfg.tracking.min_inliers_track
+        )
+
+        def rollback():
+            if optimistic:
+                self.last_pose = rec["prev_pose"]
+                self.last_frame = rec["prev_frame"]
+                self.last_pt_idx = rec["prev_pt_idx"]
+                self.velocity = rec["prev_velocity"]
+
         if ok_motion:
             self.stats["motion_tracks"] += 1
-            pose, pt_idx = pose2, pt2
-            n_map_inliers = int(s["n_map_inliers"])
+            pose, pt_idx = rec["poses_out"][0], rec["pt2"]
+            n_map_inliers = n_map
             if self.mapper is None:
-                self.map = self.map._replace(pt_visible=nvis, pt_found=nfnd)
+                if optimistic:
+                    # the map may have advanced since dispatch; apply the
+                    # counters as index updates against the live banks
+                    self.map = self._jit_visibility(
+                        self.map, rec["local_idx"], pt_idx
+                    )
+                else:
+                    self.map = self.map._replace(
+                        pt_visible=rec["nvis"], pt_found=rec["nfnd"]
+                    )
             else:
-                self._pending_vis.append((local_idx, pt_idx))
+                self._pending_vis.append((rec["local_idx"], pt_idx))
                 if len(self._pending_vis) > 64:
                     self._pending_vis.pop(0)
-            close_counts = (int(s["tracked_close"]), int(s["untracked_close"]))
-            self._ref_matches = int(s["ref_tracked"])
+            close_counts = (t_close, u_close)
+            self._ref_matches = ref_tracked
         else:
             # TrackReferenceKeyFrame fallback + decomposed local map
+            rollback()
             ok, pose, pt_idx = self._track_reference_keyframe(frame)
             if not ok:
                 self.state = TrackState.LOST
-                self._log_frame(timestamp, lost=True)
+                self._log_frame(timestamp, lost=True, frame_id=frame_id)
                 return None
             self.stats["ref_kf_tracks"] += 1
             pose, pt_idx, n_mi = self._track_local_map(frame, pose, pt_idx)
@@ -496,7 +594,7 @@ class SlamSystem:
 
         recent_reloc = (
             self.last_reloc_frame_id >= 0
-            and self.frame_id - self.last_reloc_frame_id
+            and frame_id - self.last_reloc_frame_id
             < self.cfg.tracking.max_frames_between_kf
         )
         local_bar = (
@@ -504,20 +602,89 @@ class SlamSystem:
             if recent_reloc else self.cfg.tracking.min_inliers_local_map
         )
         if n_map_inliers < local_bar:
+            rollback()
             self.state = TrackState.LOST
-            self._log_frame(timestamp, lost=True)
+            self._log_frame(timestamp, lost=True, frame_id=frame_id)
             return None
 
-        self.velocity = pose @ se3.inv(self.last_pose)
-        self.last_pose = pose
-        self.last_frame = frame
-        self.last_pt_idx = pt_idx
+        if ok_motion and optimistic:
+            # last_* already hold this record's outputs
+            pass
+        else:
+            self.velocity = pose @ se3.inv(
+                rec["prev_pose"] if optimistic else self.last_pose
+            )
+            self.last_pose = pose
+            self.last_frame = frame
+            self.last_pt_idx = pt_idx
         self.state = TrackState.OK
-        if self._need_new_keyframe(frame, pt_idx, n_map_inliers, close_counts):
+        if self._need_new_keyframe(frame, pt_idx, n_map_inliers, close_counts,
+                                   frame_id=frame_id):
             self._create_keyframe(frame, pose, pt_idx)
             Tcr_np = None   # reference keyframe changed; recompute
-        self._log_frame(timestamp, lost=False, Tcr=Tcr_np)
+        self._log_frame(timestamp, lost=False, Tcr=Tcr_np, frame_id=frame_id)
         return np.asarray(pose) if pose_np is None else pose_np
+
+    def _track_fused(self, raw_a, raw_b, timestamp: float):
+        """Steady-state tracked frame: one dispatch, one device_get."""
+        rec = self._dispatch_fused(raw_a, raw_b, timestamp)
+        return self._commit_fused(rec, optimistic=False)
+
+    def flush_pipeline(self):
+        """Resolve all in-flight pipelined frames (no-op in sync mode).
+
+        If an older frame turns out lost, the younger in-flight frames'
+        optimistic results are invalid: they are reprocessed through the
+        decomposed path with full fidelity (their FrameData is retained)."""
+        while self._inflight:
+            rec = self._inflight.pop(0)
+            if self.state == TrackState.OK:
+                self._commit_fused(rec, optimistic=True)
+            else:
+                saved = self.frame_id
+                self.frame_id = rec["frame_id"]
+                try:
+                    self._track(rec["frame"], rec["timestamp"])
+                finally:
+                    self.frame_id = saved
+
+    def _track_pipelined(self, raw_a, raw_b, timestamp: float):
+        """Optimistic pipelined tracking (SURVEY §7: "async dispatch ahead
+        of frame arrival"): dispatch this frame against the tracker's
+        unresolved device-side state, resolve the frame dispatched
+        ``pipeline_depth`` calls ago (its results have long arrived), and
+        return this frame's pose as a lazy device array.  A failure is
+        detected up to ``depth`` frames late; the affected frames are then
+        reprocessed through the decomposed path with full fidelity."""
+        # depth 1 resolves the previous frame before dispatching this one:
+        # every dispatch then sees fully committed keyframe/map state, and
+        # it measures bit-identical to sync mode (depth 2 shifts keyframe
+        # insertion 2 frames late and costs ~7% ATE on the desk orbit;
+        # revisit once the commit path re-anchors optimistic chains)
+        depth = 1
+        while len(self._inflight) >= depth:
+            rec = self._inflight.pop(0)
+            self._commit_fused(rec, optimistic=True)
+            if self.state != TrackState.OK:
+                # an in-flight frame was lost: reprocess the younger
+                # in-flight frames and this one through the decomposed path
+                self.flush_pipeline()
+                if self.sensor == "monocular":
+                    frame = self._jit_frame(raw_a)
+                else:
+                    frame = self._jit_frame(raw_a, raw_b)
+                return self._track(frame, timestamp)
+        rec = self._dispatch_fused(raw_a, raw_b, timestamp)
+        pose_dev = rec["poses_out"][0]
+        for leaf in (rec["poses_out"], rec["sc"]):
+            leaf.copy_to_host_async()
+        # optimistic tracker state: the next dispatch chains on device values
+        self.velocity = pose_dev @ se3.inv(self.last_pose)
+        self.last_pose = pose_dev
+        self.last_frame = rec["frame"]
+        self.last_pt_idx = rec["pt2"]
+        self._inflight.append(rec)
+        return pose_dev
 
     def _track(self, frame: FrameData, timestamp: float) -> Optional[np.ndarray]:
         if self.state == TrackState.NOT_INITIALIZED:
@@ -969,7 +1136,7 @@ class SlamSystem:
 
     # ----------------------------------------------------------- keyframes
     def _need_new_keyframe(self, frame, pt_idx, n_inliers: int,
-                           close_counts=None) -> bool:
+                           close_counts=None, frame_id=None) -> bool:
         """Adapted NeedNewKeyFrame (Tracking.cc:880-962).  ``close_counts``
         = (tracked_close, untracked_close) precomputed by the fused tracking
         program; computed here otherwise."""
@@ -982,7 +1149,8 @@ class SlamSystem:
             )
             return False
         mapper_idle = self.mapper is None or self.mapper.idle
-        frames_since = self.frame_id - self.last_kf_frame_id
+        fid = self.frame_id if frame_id is None else frame_id
+        frames_since = fid - self.last_kf_frame_id
         # reference-match count = points in ref KF, cached host-side at the
         # moments the reference keyframe changes (avoids a per-frame sync)
         ref_matches = self._ref_matches
@@ -1113,7 +1281,11 @@ class SlamSystem:
             kf_slot = self._insert_kf_with_points(frame, pose, pt_idx)
         self._set_ref_kf(kf_slot)
         self.last_kf_frame_id = self.frame_id
-        self.last_pt_idx = self.map.kf_point_idx[kf_slot]
+        # the tracker's associations only re-anchor on the keyframe when no
+        # newer frame is in flight (pipelined mode keeps its optimistic
+        # chain: last_pt_idx must stay aligned with last_frame)
+        if not self._inflight:
+            self.last_pt_idx = self.map.kf_point_idx[kf_slot]
         if self.mapper is not None:
             self.mapper.submit(kf_slot)
         else:
@@ -1122,7 +1294,8 @@ class SlamSystem:
             # re-read the keyframe's (remapped) associations so motion
             # matching keeps its rows alive (MapPoint::Replace semantics
             # for the tracker's pointers)
-            self.last_pt_idx = self.map.kf_point_idx[kf_slot]
+            if not self._inflight:
+                self.last_pt_idx = self.map.kf_point_idx[kf_slot]
 
     def _mapping_pipeline(self, kf_slot: int):
         """Synchronous keyframe-rate pipeline: mapping core + loop closing
@@ -1363,9 +1536,10 @@ class SlamSystem:
         self._windowed_ba(window_mask, fixed_mask, 5, 10,
                           abortable=self.mapper is not None)
         # keep the tracker's pose consistent with the adjusted keyframe
-        # (only safe when mapping runs on the tracking thread; the async
-        # mapper must not move the live pose out from under the tracker)
-        if self.mapper is None:
+        # (only safe when mapping runs on the tracking thread AND no newer
+        # frame is in flight; the async mapper / pipelined tracker must not
+        # move the live pose out from under the optimistic chain)
+        if self.mapper is None and not self._inflight:
             self.last_pose = self.map.kf_pose[kf_slot]
 
     # ------------------------------------------------------------ global BA
@@ -1482,7 +1656,7 @@ class SlamSystem:
         self.map = m._replace(
             kf_pose=jnp.asarray(corrected), pt_pos=jnp.asarray(pos)
         )
-        if self.mapper is None:
+        if self.mapper is None and not self._inflight:
             self.last_pose = self.map.kf_pose[self.ref_kf]
         else:
             # tracker re-anchors at its next frame boundary
@@ -1879,13 +2053,14 @@ class SlamSystem:
             self._pending_pose_jump = kf_cur
 
     # ----------------------------------------------------------- trajectory
-    def _log_frame(self, timestamp, lost: bool, Tcr=None):
+    def _log_frame(self, timestamp, lost: bool, Tcr=None, frame_id=None):
         if Tcr is None:
             Tcr = np.asarray(
                 self.last_pose @ se3.inv(self.map.kf_pose[self.ref_kf])
             )
         self.trajectory.append(
-            FrameLog(self.frame_id, timestamp, Tcr, self.ref_kf, lost)
+            FrameLog(self.frame_id if frame_id is None else frame_id,
+                     timestamp, Tcr, self.ref_kf, lost)
         )
 
     def _resolve_kf_pose(self, kf: int, kf_poses: np.ndarray) -> np.ndarray:
@@ -1902,6 +2077,7 @@ class SlamSystem:
 
     def shutdown(self):
         """Drain the mapping thread (System::Shutdown, System.cc:336-353)."""
+        self.flush_pipeline()
         if self.mapper is not None:
             self.mapper.wait_idle(timeout=300)
             self.mapper.shutdown()
@@ -1911,6 +2087,7 @@ class SlamSystem:
         """Frame logs with a pose, i.e. excluding lost frames — lost frames
         are skipped in every trajectory product, matching the reference
         (System.cc:387-388 ``if(*lbL) continue``)."""
+        self.flush_pipeline()
         return [log for log in self.trajectory if not log.lost]
 
     def tracked_frame_ids(self) -> np.ndarray:
