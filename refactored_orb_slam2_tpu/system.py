@@ -349,8 +349,10 @@ class SlamSystem:
             )
             is_st = frame.uvr[:, 2] >= 0
             valid1 = r.pt_idx >= 0
+            seed1 = pose0 if cfg.tracking.seed_pose_opt_from_prediction \
+                else last_pose
             o1 = optimize_pose(
-                cam, last_pose, pt_pos[jnp.clip(r.pt_idx, 0)],
+                cam, seed1, pt_pos[jnp.clip(r.pt_idx, 0)],
                 frame.uvr, inv_s2, valid1, is_st,
             )
             pt1 = jnp.where(o1.inlier, r.pt_idx, -1)
@@ -755,16 +757,22 @@ class SlamSystem:
                 if self.mb_vo:
                     self.stats["vo_tracks"] += 1
             elif int(n_m) >= 20:
-                # NOTE deliberate divergence from the reference: the velocity
-                # prediction seeds only the *matching window*; the optimizer
-                # starts from the last pose.  Initializing LM at the
-                # extrapolated pose makes the outlier-reclassification rounds
-                # bistable — the prediction-consistent fixed point amplifies
-                # drift exponentially (gain 2e_t - e_{t-1}); a neutral start
-                # always converges to the accurate consensus (50x better ATE
-                # on synthetic sequences).
+                # Deliberate divergence from the reference (configurable:
+                # tracking.seed_pose_opt_from_prediction): by default the
+                # velocity prediction seeds only the *matching window*; LM
+                # starts from the last pose.  Measured on the 125-frame
+                # miscalibrated street circuit (scripts/exp_pose_seed.py,
+                # committed in docs/EXPERIMENTS.md): neutral seed 0 lost /
+                # ATE 0.375 m / loop closed; predicted seed 49 lost /
+                # ATE 5.91 m / no loop.  The prediction-consistent LM fixed
+                # point amplifies drift through the outlier-reclassification
+                # rounds; the neutral start converges to the map consensus.
+                seed = (
+                    pose0 if self.cfg.tracking.seed_pose_opt_from_prediction
+                    else self.last_pose
+                )
                 pose, pt_idx, n_inliers = self._pose_opt_against_map(
-                    frame, self.last_pose, pt_idx
+                    frame, seed, pt_idx
                 )
                 ok = int(n_inliers) >= self.cfg.tracking.min_inliers_track
                 if ok:

@@ -84,6 +84,11 @@ class TrackingConfig:
     max_local_keyframes: int = 80     # UpdateLocalKeyFrames cap (Tracking.cc:1167)
     min_frames_between_kf: int = 0
     max_frames_between_kf: int = 30   # = fps in the reference (Tracking.cc:148)
+    # pose-only LM seed in TrackWithMotionModel: False = last frame's pose
+    # (this engine's default; see the experiment in
+    # scripts/exp_pose_seed.py), True = the velocity-extrapolated
+    # prediction (the reference's seed, Tracking.cc:787)
+    seed_pose_opt_from_prediction: bool = False
 
 
 @dataclass(frozen=True)
