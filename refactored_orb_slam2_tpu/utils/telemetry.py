@@ -38,6 +38,12 @@ def get(name: str) -> int:
         return _counters.get(name, 0)
 
 
+def warned_keys() -> list:
+    """Keys that have warned at least once (capacity audits in benches)."""
+    with _lock:
+        return sorted(_warned)
+
+
 def warn(key: str, message: str) -> None:
     """Log ``message`` on the first occurrence of ``key`` and then every
     WARN_EVERY-th occurrence (so per-frame cap hits don't flood)."""

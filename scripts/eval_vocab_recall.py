@@ -69,7 +69,7 @@ def main():
         L, R = world.render_stereo(poses[q], cam, noise=2.0, rng=rng)
         fr = jf(jnp.asarray(L), jnp.asarray(R))
         bow = db.signature_of(fr.desc, fr.valid)
-        scores = np.asarray(db.scores(bow))
+        scores = np.asarray(db.scores(bow))[: len(db_pos)]
         order = np.argsort(-scores)
         true_pos = q - LAP
         is_true = np.abs(db_pos - true_pos) <= 4   # +/-2 db slots (4 frames)

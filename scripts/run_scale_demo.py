@@ -1,0 +1,98 @@
+"""Scale demonstration (VERDICT r2 item 7): a long run at KITTI-scale
+capacities — K=2048 keyframes / P=262144 points — showing per-keyframe
+mapping cost stays roughly flat as the map grows and no capacity warning
+fires.
+
+Loop closing is disabled for this run: the essential-graph optimizer still
+assembles a dense (K, K, 7, 7) Hessian (optim/pose_graph.py), which at
+K=2048 would need ~820 GB — the documented next piece of scale work is a
+sparse/CG pose graph.  Detection/Sim3 are unaffected.
+
+    python scripts/run_scale_demo.py            # real chip
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+import numpy as np
+
+from refactored_orb_slam2_tpu.system import SlamSystem
+from refactored_orb_slam2_tpu.utils.config import (
+    CameraConfig, MapConfig, ORBConfig, SystemConfig,
+)
+from refactored_orb_slam2_tpu.utils import world3d as W
+from refactored_orb_slam2_tpu.utils import telemetry
+
+BLOCK, ROAD_W = 30.0, 8.0
+N_FRAMES = int(os.environ.get("SCALE_FRAMES", "700"))
+LAPS = N_FRAMES / 140.0
+
+
+def main():
+    cfg = SystemConfig(
+        sensor="stereo",
+        camera=CameraConfig(fx=320.0, fy=320.0, cx=160.0, cy=120.0, bf=120.0,
+                            width=320, height=240, fps=10),
+        orb=ORBConfig(n_features=1000, n_levels=4),
+        map=MapConfig(max_keyframes=2048, max_points=262144,
+                      max_obs_per_point=16,
+                      local_ba_max_kfs=64, local_ba_max_points=8192),
+    )
+    sys_ = SlamSystem(cfg, pipelined=True)
+    sys_.loop_closing_enabled = False
+    world = W.scene_street(seed=41, block=BLOCK, road_w=ROAD_W)
+    poses = W.traj_street_loop(N_FRAMES, block=BLOCK, road_w=ROAD_W,
+                               seed=41, laps=LAPS)
+    rng = np.random.default_rng(6)
+
+    map_times = []     # (kf_index, seconds) per keyframe
+    orig = sys_._mapping_pipeline
+
+    def timed(kf):
+        t0 = time.perf_counter()
+        orig(kf)
+        map_times.append((kf, time.perf_counter() - t0))
+
+    sys_._mapping_pipeline = timed
+
+    lost = 0
+    t_all = time.perf_counter()
+    for i, Tcw in enumerate(poses):
+        L, R = world.render_stereo(Tcw, sys_.cam, noise=2.0, rng=rng)
+        if sys_.track_stereo(L, R, i * 0.1) is None:
+            lost += 1
+        if (i + 1) % 100 == 0:
+            print(f"  frame {i+1}/{N_FRAMES}: kf={sys_.n_kf} pt={sys_.n_pt}",
+                  flush=True)
+    sys_.flush_pipeline()
+    wall = time.perf_counter() - t_all
+
+    mt = np.asarray([t for _, t in map_times])
+    n = len(mt)
+    third = max(n // 3, 1)
+    out = dict(
+        frames=N_FRAMES, lost=lost, keyframes=sys_.n_kf, points=sys_.n_pt,
+        wall_s=round(wall, 1),
+        mapping_ms_per_kf=dict(
+            first_third=round(float(np.median(mt[:third])) * 1e3, 1),
+            middle_third=round(float(np.median(mt[third:2 * third])) * 1e3, 1),
+            last_third=round(float(np.median(mt[2 * third:])) * 1e3, 1),
+        ),
+        capacity_warnings=telemetry.warned_keys(),
+    )
+    print(json.dumps(out))
+    with open("/tmp/scale_demo.json", "w") as f:
+        json.dump(out, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
