@@ -309,8 +309,11 @@ def scene_street(seed=23, block=60.0, road_w=14.0) -> World3D:
     b = block / 2.0
     surfs += facades(-b + 4, -b + 4, b - 4, b - 4, rng.uniform(8, 14), seed * 10)
     road_outer = L / 2 + half           # outer edge of the square road ring
-    for i in range(10):
-        ang = i / 10.0 * 2 * np.pi
+    # building/parked-box counts scale with the block so content density per
+    # meter of road matches the 22 m test circuit at any fixture scale
+    n_ring = max(10, int(round(10 * L / 30.0)))
+    for i in range(n_ring):
+        ang = i / n_ring * 2 * np.pi
         w_, d_ = rng.uniform(10, 22), rng.uniform(8, 18)
         # place centers on the square ring outside the road: project the
         # direction onto the unit square boundary so the building's nearest
@@ -335,7 +338,8 @@ def scene_street(seed=23, block=60.0, road_w=14.0) -> World3D:
         cx, cy = dx * np.sqrt(2.0) * rc, dy * np.sqrt(2.0) * rc
         surfs += facades(cx - w_ / 2, cy - d_ / 2, cx + w_ / 2, cy + d_ / 2,
                          rng.uniform(7, 12), seed * 10 + 501 + 13 * i)
-    for i in range(28):
+    n_box = max(14, int(round(28 * b / 11.0)))
+    for i in range(n_box):
         leg = rng.integers(0, 4)
         along = rng.uniform(-b, b)
         # parked boxes go on the OUTER side of the road only: the rounded

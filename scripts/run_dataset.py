@@ -99,6 +99,9 @@ def main(argv=None):
     ap.add_argument("--out-kf", default=None, help="keyframe trajectory path")
     ap.add_argument("--async-mapping", action="store_true",
                     help="run local mapping / loop closing on a worker thread")
+    ap.add_argument("--pipelined", action="store_true",
+                    help="optimistic lag-1 dispatch: per-frame gates resolve "
+                         "one frame late (production throughput config)")
     ap.add_argument("--localization-after", type=int, default=0,
                     help="switch to localization-only mode (no mapping) after "
                          "N frames (0 = never; viewer menu toggle in the "
@@ -114,7 +117,8 @@ def main(argv=None):
     from refactored_orb_slam2_tpu.system import SlamSystem
 
     cfg = _config(args)
-    slam = SlamSystem(cfg, async_mapping=args.async_mapping)
+    slam = SlamSystem(cfg, async_mapping=args.async_mapping,
+                      pipelined=args.pipelined)
     sensor = _sensor(args.mode)
     seq = _sequence(args, cfg)
 
