@@ -87,7 +87,9 @@ class TestAsyncPipeline:
         world = SyntheticWorld.create(
             seed=22, n_points=450, z_range=(2.5, 9.0), clear_tube=0.0,
         )
-        traj = lateral_traj(8)
+        # 14 frames -> 4 keyframes under the reference-parity cadence
+        # (c1b fires every fps frames; 8 frames used to suffice pre-cadence).
+        traj = lateral_traj(14)
         sys_ = SlamSystem(make_cfg(), async_mapping=True)
         rng = np.random.default_rng(3)
         run_sequence(sys_, world, traj, rng)
@@ -117,10 +119,12 @@ class TestAsyncPipeline:
             seed=23, n_points=550, x_range=(-8, 8), z_range=(2.5, 10.0),
             clear_tube=0.0,
         )
-        traj = lateral_traj(20, step=0.07)
+        # 14 warmup frames -> >=3 KFs under the reference-parity cadence;
+        # the remaining 12 frames land >=1 more keyframe mid-GBA.
+        traj = lateral_traj(26, step=0.07)
         sys_ = SlamSystem(make_cfg(), async_mapping=True)
         rng = np.random.default_rng(4)
-        run_sequence(sys_, world, traj[:8], rng)
+        run_sequence(sys_, world, traj[:14], rng)
         sys_.mapper.wait_idle(timeout=120)
         n_kf_at_launch = sys_.n_kf
         assert n_kf_at_launch >= 3
@@ -130,10 +134,10 @@ class TestAsyncPipeline:
         assert sys_._gba_thread.is_alive()
         # keep tracking while GBA runs; a keyframe must land mid-flight
         grew_during_gba = False
-        for i, Tcw in enumerate(traj[8:]):
+        for i, Tcw in enumerate(traj[14:]):
             img = world.render(Tcw, sys_.cam, noise=2.0, rng=rng)
             depth = world.render_depth(Tcw, sys_.cam)
-            assert sys_.track_rgbd(img, depth, (8 + i) * 0.1) is not None
+            assert sys_.track_rgbd(img, depth, (14 + i) * 0.1) is not None
             if sys_.n_kf > n_kf_at_launch and sys_._gba_thread.is_alive():
                 grew_during_gba = True
         sys_._jit_lm_chunk = orig
