@@ -11,9 +11,19 @@ the corrected relative pose).  Residual per edge:
 
 which is zero when the graph is consistent with the measurement.
 Jacobians come from forward-mode autodiff of the tangent perturbation
-(batched over edges), the normal system is assembled by segment-sum
-scatters, solved dense (7K x 7K) — a few thousand keyframes stay well
-inside MXU-friendly sizes.  20 LM iterations like the reference.
+(batched over edges); the normal system is assembled by segment-sum
+scatters.  Two solvers:
+
+- ``solver="dense"``: materialize H (K,K,7,7), one (7K,7K) dense solve —
+  fastest for small graphs (K <= ~512).
+- ``solver="pcg"``: matrix-free block-Jacobi preconditioned CG over the
+  per-edge blocks — memory O(E*49), never materializes H; the path for
+  KITTI-scale graphs (K in the thousands) where the dense assembly would
+  be gigabytes.  Pose graphs are chain-like, so information propagates
+  one hop per CG iteration: n_cg should be >= the graph diameter (the
+  driver passes ~K).
+
+20 LM iterations like the reference (Optimizer.cc:900).
 """
 
 from __future__ import annotations
