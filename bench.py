@@ -134,60 +134,14 @@ def main():
 
 def _pallas_selfcheck():
     """Assert the Pallas fused matcher agrees with the XLA path on the real
-    chip before timing anything: d1 always; i1 where the winner is unique;
-    d2 and the ratio gate on the full batch."""
-    import jax.numpy as jnp
-
-    from refactored_orb_slam2_tpu.ops.pallas_hamming import on_tpu
-    if not on_tpu():
-        return
-    from refactored_orb_slam2_tpu.frontend.pallas_glue import window_best2_padded
-    from refactored_orb_slam2_tpu.ops.descriptors import hamming
-    from refactored_orb_slam2_tpu.ops import matching as M
-
-    rng = np.random.default_rng(1)
-    nq, nt = 512, 1024
-    q = rng.integers(0, 2**32, (nq, 8), dtype=np.uint32)
-    t = rng.integers(0, 2**32, (nt, 8), dtype=np.uint32)
-    uv_q = rng.uniform(0, 640, (nq, 2)).astype(np.float32)
-    uv_t = rng.uniform(0, 640, (nt, 2)).astype(np.float32)
-    radius = np.full(nq, 60.0, np.float32)
-    lvl_q = rng.integers(0, 8, nq).astype(np.int32)
-    lvl_t = rng.integers(0, 8, nt).astype(np.int32)
-    rv = np.ones(nq, bool)
-    cv = np.ones(nt, bool)
-
-    d1, i1, d2 = window_best2_padded(
-        jnp.asarray(q), jnp.asarray(t), jnp.asarray(uv_q), jnp.asarray(uv_t),
-        jnp.asarray(radius), jnp.asarray(lvl_q), jnp.asarray(lvl_t),
-        jnp.asarray(rv), jnp.asarray(cv), (-1, 0),
+    chip before timing anything (shared with tests/test_pallas.py, which
+    runs the same check as a chip-gated pytest)."""
+    from refactored_orb_slam2_tpu.ops.pallas_selfcheck import (
+        run_golden, run_selfcheck,
     )
-    dist = hamming(jnp.asarray(q), jnp.asarray(t))
-    geo = M.window_mask(jnp.asarray(uv_q), jnp.asarray(uv_t), jnp.asarray(radius))
-    geo = geo & M.octave_band_mask(jnp.asarray(lvl_q), jnp.asarray(lvl_t), -1, 0)
-    mask = geo & rv[:, None] & cv[None, :]
-    dref = jnp.where(mask, dist, M.BIG)
-    d1_ref, i1_ref, d2_ref = M.masked_best2(jnp.asarray(dist), mask)
-    d1, i1, d2 = np.asarray(d1), np.asarray(i1), np.asarray(d2)
-    d1_ref = np.asarray(d1_ref)
-    i1_ref = np.asarray(i1_ref)
-    d2_ref = np.asarray(d2_ref)
-    ok = d1 <= 256
-    assert np.array_equal(d1[ok], d1_ref[ok]), \
-        "pallas kernel d1 disagrees with the XLA matcher"
-    ok2 = ok & (d2 <= 256)
-    assert np.array_equal(d2[ok2], d2_ref[ok2]), \
-        "pallas kernel d2 disagrees with the XLA matcher"
-    uniq = ok & (d1 < d2)   # unique winner -> argmin well-defined
-    assert np.array_equal(i1[uniq], i1_ref[uniq]), \
-        "pallas kernel i1 disagrees with the XLA matcher"
-    # the ratio gate must pick the same rows on both paths
-    for ratio in (0.7, 0.9):
-        g_p = ok & (d1.astype(np.float32) < ratio * d2.astype(np.float32))
-        g_x = (d1_ref <= 256) & (
-            d1_ref.astype(np.float32) < ratio * d2_ref.astype(np.float32)
-        )
-        assert np.array_equal(g_p, g_x), f"ratio gate mismatch at {ratio}"
+
+    run_selfcheck()
+    run_golden()
 
 
 if __name__ == "__main__":

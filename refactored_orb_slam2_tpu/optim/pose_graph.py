@@ -20,10 +20,12 @@ scatters.  Two solvers:
   per-edge blocks — memory O(E*49), never materializes H; the path for
   KITTI-scale graphs (K in the thousands) where the dense assembly would
   be gigabytes.  Pose graphs are chain-like, so information propagates
-  one hop per CG iteration: n_cg should be >= the graph diameter (the
-  driver passes ~K).
+  one hop per CG iteration: n_cg should be on the order of the graph
+  diameter (the LM outer loop compounds propagation, so n_cg ~ K/4
+  converges to the dense solution in practice; see tests/test_pose_graph).
 
-20 LM iterations like the reference (Optimizer.cc:900).
+20 LM iterations like the reference (OptimizeEssentialGraph,
+Optimizer.cc:989 and :1305).
 """
 
 from __future__ import annotations
@@ -85,12 +87,20 @@ def optimize_pose_graph(
     *,
     fix_scale: bool,
     n_iters: int = 20,
+    solver: str = "dense",
+    n_cg: int | None = None,
 ):
     """LM over the pose graph.  Returns updated (R, t, s).
 
     fix_scale=True freezes the scale coordinate (SE3 mode — the reference's
     stereo/RGB-D variant with its checkUnitScale assertion,
     Optimizer.cc:1057-1067).
+
+    solver="pcg" never materializes the (K,K,7,7) Hessian: the normal
+    equations are solved matrix-free by block-Jacobi preconditioned CG over
+    the per-edge 7x7 blocks (memory O(E*49 + K*49)); n_cg defaults to
+    max(64, K//4) — with 20 LM outer iterations the total information
+    propagation far exceeds the graph diameter.
     """
     K = poses_R.shape[0]
     E = edges.i.shape[0]
@@ -124,47 +134,126 @@ def optimize_pose_graph(
         w = (edges.valid.astype(r.dtype) * edges.weight)[:, None]
         return jnp.sum(w * r * r), r
 
+    if n_cg is None:
+        n_cg = max(64, K // 4)
+    sel7 = jnp.zeros((7, 7), dtype=poses_t.dtype).at[6, 6].set(1.0)
+    keep7 = jnp.eye(7, dtype=poses_t.dtype) - sel7
+
+    def _proj(x):
+        """Gauge + scale projection applied symmetrically around the normal
+        operator (matches the dense path's masking semantics)."""
+        x = x * free[:, None]
+        if fix_scale:
+            x = x @ keep7
+        return x
+
+    def _solve_dense(Hii, Hjj, Hij, g, lamD, r_dtype):
+        Hflat = jnp.zeros((K * K, 7, 7), dtype=r_dtype)
+        Hflat = Hflat.at[ic * K + ic].add(Hii)
+        Hflat = Hflat.at[jc * K + jc].add(Hjj)
+        Hflat = Hflat.at[ic * K + jc].add(Hij)
+        Hflat = Hflat.at[jc * K + ic].add(jnp.swapaxes(Hij, 1, 2))
+        H = Hflat.reshape(K, K, 7, 7)
+        diag_idx = jnp.arange(K)
+        H = H.at[diag_idx, diag_idx].add(lamD)
+        mask2 = free[:, None] * free[None, :]
+        H = H * mask2[:, :, None, None]
+        H = H.at[diag_idx, diag_idx].add(
+            (1.0 - free)[:, None, None] * jnp.eye(7, dtype=r_dtype)
+        )
+        g = g * free[:, None]
+        if fix_scale:
+            H = jnp.einsum("ab,kqbc,cd->kqad", keep7, H, keep7)
+            H = H.at[diag_idx, diag_idx].add(sel7)
+            g = g @ keep7
+        Hd = H.transpose(0, 2, 1, 3).reshape(7 * K, 7 * K)
+        return -jnp.linalg.solve(Hd, g.reshape(7 * K)).reshape(K, 7)
+
+    def _solve_pcg(Hii, Hjj, Hij, g, lamD, r_dtype):
+        """Matrix-free block-Jacobi PCG on the same projected system the
+        dense path materializes: A = P (H_edges + lamD) P + (I - P)."""
+        # block-diagonal of H (K,7,7) for damping and the preconditioner
+        D = jnp.zeros((K, 7, 7), dtype=r_dtype)
+        D = D.at[ic].add(Hii).at[jc].add(Hjj)
+        D = D + lamD
+
+        def matvec(x):
+            xp = _proj(x)
+            xi = xp[ic]
+            xj = xp[jc]
+            yi = jnp.einsum("eij,ej->ei", Hii, xi) + jnp.einsum(
+                "eij,ej->ei", Hij, xj)
+            yj = jnp.einsum("eji,ej->ei", Hij, xi) + jnp.einsum(
+                "eij,ej->ei", Hjj, xj)
+            y = jnp.zeros((K, 7), dtype=r_dtype)
+            y = y.at[ic].add(yi).at[jc].add(yj)
+            y = y + jnp.einsum("kij,kj->ki", lamD, xp)
+            y = _proj(y)
+            # identity on the projected-out subspace keeps A positive
+            # definite (fixed nodes / frozen scale coords solve to 0)
+            return y + (x - xp)
+
+        # block-Jacobi preconditioner on the projected diagonal
+        if fix_scale:
+            Dp = jnp.einsum("ab,kbc,cd->kad", keep7, D, keep7) + sel7
+        else:
+            Dp = D
+        Dp = (free[:, None, None] * Dp
+              + (1.0 - free)[:, None, None] * jnp.eye(7, dtype=r_dtype))
+        Minv = jnp.linalg.inv(Dp + 1e-6 * jnp.eye(7, dtype=r_dtype))
+
+        def apply_M(x):
+            return jnp.einsum("kij,kj->ki", Minv, x)
+
+        b = _proj(-g)
+        x0 = jnp.zeros_like(b)
+        r0 = b
+        z0 = apply_M(r0)
+        p0 = z0
+        rz0 = jnp.sum(r0 * z0)
+
+        def cg_step(carry, _):
+            x, r, z, p, rz = carry
+            Ap = matvec(p)
+            pAp = jnp.sum(p * Ap)
+            alpha = jnp.where(pAp > 0, rz / jnp.maximum(pAp, 1e-30), 0.0)
+            x = x + alpha * p
+            r = r - alpha * Ap
+            z = apply_M(r)
+            rz_new = jnp.sum(r * z)
+            beta = jnp.where(rz > 0, rz_new / jnp.maximum(rz, 1e-30), 0.0)
+            p = z + beta * p
+            return (x, r, z, p, rz_new), None
+
+        (dz, _, _, _, _), _ = jax.lax.scan(
+            cg_step, (x0, r0, z0, p0, rz0), None, length=n_cg
+        )
+        return dz
+
     def step(carry, _):
         R, t, s, lam = carry
         r, Ji, Jj = residuals_and_jacs(R, t, s)
         w = edges.valid.astype(r.dtype) * edges.weight
-        # assemble H (K,K,7,7) and g (K,7)
+        # per-edge normal blocks and gradient (K,7)
         Hii = jnp.einsum("eri,e,erj->eij", Ji, w, Ji)
         Hjj = jnp.einsum("eri,e,erj->eij", Jj, w, Jj)
         Hij = jnp.einsum("eri,e,erj->eij", Ji, w, Jj)
         gi = jnp.einsum("eri,e,er->ei", Ji, w, r)
         gj = jnp.einsum("eri,e,er->ei", Jj, w, r)
-        Hflat = jnp.zeros((K * K, 7, 7), dtype=r.dtype)
-        Hflat = Hflat.at[ic * K + ic].add(Hii)
-        Hflat = Hflat.at[jc * K + jc].add(Hjj)
-        Hflat = Hflat.at[ic * K + jc].add(Hij)
-        Hflat = Hflat.at[jc * K + ic].add(jnp.swapaxes(Hij, 1, 2))
         g = jnp.zeros((K, 7), dtype=r.dtype)
         g = g.at[ic].add(gi).at[jc].add(gj)
-        H = Hflat.reshape(K, K, 7, 7)
 
-        # damping + gauge fixing
-        diag_idx = jnp.arange(K)
+        # LM damping blocks from the Hessian block diagonal
+        Dblk = jnp.zeros((K, 7, 7), dtype=r.dtype)
+        Dblk = Dblk.at[ic].add(Hii).at[jc].add(Hjj)
         lamD = lam * jax.vmap(jnp.diag)(
-            jax.vmap(jnp.diag)(H[diag_idx, diag_idx])
+            jax.vmap(jnp.diag)(Dblk)
         ) + 1e-8 * jnp.eye(7)
-        H = H.at[diag_idx, diag_idx].add(lamD)
-        mask2 = free[:, None] * free[None, :]
-        H = H * mask2[:, :, None, None]
-        H = H.at[diag_idx, diag_idx].add(
-            (1.0 - free)[:, None, None] * jnp.eye(7, dtype=r.dtype)
-        )
-        g = g * free[:, None]
-        if fix_scale:
-            # freeze the sigma coordinate of every node
-            sel = jnp.zeros((7, 7), dtype=r.dtype).at[6, 6].set(1.0)
-            keep = jnp.eye(7, dtype=r.dtype) - sel
-            H = jnp.einsum("ab,kqbc,cd->kqad", keep, H, keep)
-            H = H.at[diag_idx, diag_idx].add(sel)
-            g = g @ keep
 
-        Hd = H.transpose(0, 2, 1, 3).reshape(7 * K, 7 * K)
-        dz = -jnp.linalg.solve(Hd, g.reshape(7 * K)).reshape(K, 7)
+        if solver == "pcg":
+            dz = _solve_pcg(Hii, Hjj, Hij, g, lamD, r.dtype)
+        else:
+            dz = _solve_dense(Hii, Hjj, Hij, g, lamD, r.dtype)
         dz = dz * free[:, None]
         if fix_scale:
             dz = dz.at[:, 6].set(0.0)

@@ -87,7 +87,7 @@ class SlamSystem:
     trajectory with export_trajectory_tum/kitti."""
 
     def __init__(self, config: SystemConfig, async_mapping: bool = False,
-                 pipelined: bool = False):
+                 pipelined: bool = False, pipeline_depth: int = 1):
         # SLAM geometry needs full f32 matmuls: with the TPU default
         # (bf16 inputs), pose-optimization normal equations and descriptor
         # intensity differences lose enough precision that tracking margins
@@ -100,10 +100,17 @@ class SlamSystem:
         _jax.config.update("jax_default_matmul_precision", "highest")
         self.cfg = config
         self.async_mapping = async_mapping
-        # lag-1 optimistic dispatch (SURVEY §7 "async dispatch ahead of
-        # frame arrival"): track_* returns the pose as a lazy device array
-        # and resolves the frame's gates while the next frame computes
+        # optimistic dispatch (SURVEY §7 "async dispatch ahead of frame
+        # arrival"): track_* returns the pose as a lazy device array and
+        # resolves the frame's gates while later frames compute.  Depth 1
+        # commits the previous frame before each dispatch (bit-identical to
+        # sync mode); deeper pipelines amortize the host<->device round
+        # trip over ``pipeline_depth`` frames — required to beat the ~25 ms
+        # tunnel RTT — at the cost of keyframe decisions landing up to
+        # depth-1 frames late (the reference's tracker reads the mapping
+        # thread's output with the same kind of lag).
         self.pipelined = pipelined
+        self.pipeline_depth = max(1, int(pipeline_depth))
         self._inflight: list = []
         self.cam: Camera = camera_from_config(config.camera)
         self.sensor = config.sensor
@@ -393,11 +400,16 @@ class SlamSystem:
             # nRefMatches = reference keyframe's landmarks with >= min_obs
             # observations (KeyFrame::TrackedMapPoints, Tracking.cc:899) —
             # counting ALL landmarks would inflate the c2 ratio with
-            # fresh single-observation points and spam keyframes
-            obs_ok = (pt_obs_kf >= 0) & jnp.take(
-                kf_valid, jnp.clip(pt_obs_kf, 0)
-            )
-            n_obs = jnp.sum(obs_ok.astype(jnp.int32), axis=1)     # (P,)
+            # fresh single-observation points and spam keyframes.
+            # Count observations WITHOUT any gather over the (P, O) table:
+            # obs slots of culled keyframes are cleared by remove_keyframe
+            # (map_ops/local_mapping), so ``pt_obs_kf >= 0`` alone is the
+            # validity test and n_obs is a pure elementwise reduce.  The
+            # previous `take(kf_valid, pt_obs_kf)` formulation measured
+            # +16.5 ms/frame inside this program on v5e (70% of the whole
+            # fused step) even though it is ~0.03 ms standalone — XLA
+            # lowers the fused 2M-element random gather pathologically.
+            n_obs = jnp.sum((pt_obs_kf >= 0).astype(jnp.int32), axis=1)
             ref_pt = kf_point_idx[ref_kf]
             ref_has = (
                 (ref_pt >= 0) & kf_feat_valid[ref_kf]
@@ -660,10 +672,13 @@ class SlamSystem:
         reprocessed through the decomposed path with full fidelity."""
         # depth 1 resolves the previous frame before dispatching this one:
         # every dispatch then sees fully committed keyframe/map state, and
-        # it measures bit-identical to sync mode (depth 2 shifts keyframe
-        # insertion 2 frames late and costs ~7% ATE on the desk orbit;
-        # revisit once the commit path re-anchors optimistic chains)
-        depth = 1
+        # it measures bit-identical to sync mode.  Depth d>1 keeps d frames
+        # in flight: keyframe insertion lands up to d-1 frames late and the
+        # frames dispatched in between track against the pre-keyframe map —
+        # the same staleness the reference tolerates between its tracking
+        # and mapping threads (measured on the tum_room fixture: depth 3 +
+        # async mapping holds ATE parity; see BASELINE.md)
+        depth = self.pipeline_depth
         while len(self._inflight) >= depth:
             rec = self._inflight.pop(0)
             self._commit_fused(rec, optimistic=True)
@@ -2023,9 +2038,16 @@ class SlamSystem:
         node_valid = jnp.asarray(kf_valid)
         node_fixed = jnp.zeros(K, bool).at[kf_loop].set(True)
         # initial values: corrected poses for the group, old elsewhere
+        pg_solver = self.cfg.map.pose_graph_solver
+        if pg_solver == "auto":
+            pg_solver = (
+                "pcg" if K > self.cfg.map.pose_graph_dense_max else "dense"
+            )
         opt_R, opt_t, opt_s = PG.optimize_pose_graph(
             mid_R, mid_t, mid_s, node_valid, node_fixed, edges,
             fix_scale=self.sensor != "monocular",
+            solver=pg_solver,
+            n_cg=self.cfg.map.pose_graph_cg_iters or None,
         )
 
         # correct landmarks through their reference keyframes — from the

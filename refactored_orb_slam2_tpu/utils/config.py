@@ -106,6 +106,13 @@ class MapConfig:
     local_ba_max_points: int = 8192
     # CG iterations per LM step for the matrix-free global-BA solver
     gba_cg_iters: int = 80
+    # essential-graph solver: "auto" picks dense for small banks and the
+    # matrix-free block-Jacobi PCG (optim/pose_graph.py) when
+    # max_keyframes > pose_graph_dense_max — dense (K,K,7,7) assembly at
+    # K=2048 would be 822 MB/iteration
+    pose_graph_solver: str = "auto"   # "auto" | "dense" | "pcg"
+    pose_graph_dense_max: int = 512
+    pose_graph_cg_iters: int = 0      # 0 = max(64, K // 4)
     # covisible-neighbor counts for SearchInNeighbors / CreateNewMapPoints
     # (LocalMapping.cc:189-192, 430-433); 0 = the reference's 10 (20 mono)
     fuse_neighbors: int = 0

@@ -88,7 +88,9 @@ class TestAsyncPipeline:
             seed=22, n_points=450, z_range=(2.5, 9.0), clear_tube=0.0,
         )
         # 14 frames -> 4 keyframes under the reference-parity cadence
-        # (c1b fires every fps frames; 8 frames used to suffice pre-cadence).
+        # (keyframe insertion is gated by the c1/c2 conditions — c1a fires
+        # every max_frames (= fps) frames, c1b by min_frames + mapper-idle;
+        # 8 frames used to suffice pre-cadence).
         traj = lateral_traj(14)
         sys_ = SlamSystem(make_cfg(), async_mapping=True)
         rng = np.random.default_rng(3)

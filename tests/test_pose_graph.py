@@ -130,6 +130,81 @@ class TestPoseGraph:
         np.testing.assert_allclose(p_cam_new, pts_cam, atol=1e-3)
 
 
+class TestPoseGraphPCG:
+    """Matrix-free block-Jacobi PCG solver vs the dense reference solve."""
+
+    def test_pcg_single_step_matches_dense(self):
+        """One LM iteration solves one linear system: with enough CG
+        iterations the matrix-free solution must match the dense solve."""
+        n = 24
+        (R_gt, t_gt, s_gt), (R_est, t_est, s_est) = circle_graph(n, drift=0.03)
+        edges = build_edges(R_gt, t_gt, s_gt, n)
+        fixed = jnp.zeros(n, bool).at[0].set(True)
+        for fix_scale, s0 in ((True, jnp.ones(n, jnp.float32)),
+                              (False, jnp.asarray(s_est))):
+            args = (jnp.asarray(R_est), jnp.asarray(t_est), s0,
+                    jnp.ones(n, bool), fixed, edges)
+            Rd, td, sd = optimize_pose_graph(
+                *args, fix_scale=fix_scale, solver="dense", n_iters=1)
+            Rp, tp, sp = optimize_pose_graph(
+                *args, fix_scale=fix_scale, solver="pcg", n_iters=1,
+                n_cg=7 * n)
+            np.testing.assert_allclose(np.asarray(Rp), np.asarray(Rd),
+                                       atol=2e-4)
+            np.testing.assert_allclose(np.asarray(tp), np.asarray(td),
+                                       atol=2e-3)
+            np.testing.assert_allclose(np.asarray(sp), np.asarray(sd),
+                                       atol=2e-4)
+
+    def test_pcg_matches_dense_sim3(self):
+        n = 32
+        (R_gt, t_gt, s_gt), (R_est, t_est, s_est) = circle_graph(
+            n, drift=0.02, scale_drift=0.02, seed=3
+        )
+        edges = build_edges(R_gt, t_gt, s_gt, n)
+        fixed = jnp.zeros(n, bool).at[0].set(True)
+        args = (jnp.asarray(R_est), jnp.asarray(t_est), jnp.asarray(s_est),
+                jnp.ones(n, bool), fixed, edges)
+        Rp, tp, sp = optimize_pose_graph(*args, fix_scale=False,
+                                         solver="pcg", n_cg=n)
+        # scale drift corrected through the PCG path too
+        assert np.abs(np.asarray(sp) - 1.0).max() < 0.02, np.asarray(sp)
+
+    def test_pcg_large_graph_with_covis_edges(self):
+        """Chain + loop + medium-range covisibility edges at K=160 with the
+        default n_cg heuristic (max(64, K//4)): loop error must collapse."""
+        n = 160
+        (R_gt, t_gt, s_gt), (R_est, t_est, s_est) = circle_graph(
+            n, drift=0.015, seed=5
+        )
+        ii = [k - 1 for k in range(1, n)] + [n - 1]
+        jj = list(range(1, n)) + [0]
+        for k in range(0, n - 4, 2):   # covisibility-style skip edges
+            ii.append(k); jj.append(k + 4)
+        edges = make_edges_from_poses(
+            jnp.asarray(ii, jnp.int32), jnp.asarray(jj, jnp.int32),
+            jnp.asarray(R_gt), jnp.asarray(t_gt), jnp.asarray(s_gt),
+            jnp.ones(len(ii), bool),
+        )
+        fixed = jnp.zeros(n, bool).at[0].set(True)
+        R, t, s = optimize_pose_graph(
+            jnp.asarray(R_est), jnp.asarray(t_est), jnp.ones(n, jnp.float32),
+            jnp.ones(n, bool), fixed, edges, fix_scale=True, solver="pcg",
+        )
+
+        def centers(Rm, tm, sm):
+            Rm, tm, sm = np.asarray(Rm), np.asarray(tm), np.asarray(sm)
+            return -np.einsum("kji,kj->ki", Rm, tm) / sm[:, None]
+
+        err_before = np.linalg.norm(
+            centers(R_est, t_est, s_est) - centers(R_gt, t_gt, s_gt), axis=1
+        ).max()
+        err_after = np.linalg.norm(
+            centers(R, t, s) - centers(R_gt, t_gt, s_gt), axis=1
+        ).max()
+        assert err_after < 0.15 * err_before, (err_before, err_after)
+
+
 class TestOptimizeSim3:
     def test_joint_refinement_recovers_sim3(self):
         from refactored_orb_slam2_tpu.backend.loop_closing import optimize_sim3
