@@ -15,6 +15,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 class Camera(NamedTuple):
@@ -41,7 +42,15 @@ class Camera(NamedTuple):
     @classmethod
     def create(cls, fx, fy, cx, cy, k1=0.0, k2=0.0, p1=0.0, p2=0.0, k3=0.0,
                bf=0.0, width=640, height=480) -> "Camera":
-        f = lambda v: jnp.asarray(v, dtype=jnp.float32)
+        # HOST (numpy) scalars, deliberately: Camera is captured by closure
+        # in jitted programs (system._build_fused_track, _jit_frame), and a
+        # jit that closes over a *device* array permanently degrades every
+        # subsequent host->device transfer in the process ~50x on the
+        # tunneled-TPU runtime (measured: 0.3 ms -> 17-27 ms per 0.3 MB
+        # frame upload; scripts/probe_tunnel.py).  numpy closures compile
+        # to embedded literals and stay on the fast path; in jit argument
+        # position they stage like any array.
+        f = lambda v: np.float32(v)
         return cls(f(fx), f(fy), f(cx), f(cy), f(k1), f(k2), f(p1), f(p2),
                    f(k3), f(bf), int(width), int(height))
 

@@ -131,7 +131,10 @@ class SlamSystem:
             if config.camera.bf > 0 else 0.0
         )
         lv_sigma2 = level_sigma2(config.orb.n_levels, config.orb.scale_factor)
-        self.inv_sigma2_table = jnp.asarray(1.0 / lv_sigma2)
+        # host numpy, NOT jnp: this table is closed over by the fused-track
+        # jit; device-array closure constants poison all later host->device
+        # transfers on the tunneled runtime (see Camera.create).
+        self.inv_sigma2_table = np.asarray(1.0 / lv_sigma2, np.float32)
         self.scale_factors = np.asarray(
             [config.orb.scale_factor ** i for i in range(config.orb.n_levels)],
             np.float32,
@@ -489,6 +492,23 @@ class SlamSystem:
     def track_monocular(self, img, timestamp: float) -> Optional[np.ndarray]:
         img = jnp.asarray(_encode_img(img))
         return self._track_entry(img, img, timestamp)
+
+    # Device-resident frame entry points: frames already in the wire
+    # encoding (uint8 grayscale, uint16 mm depth) and already in HBM —
+    # the production path for a sensor DMA-ing into device memory, and
+    # the only path whose throughput the tunneled bench can measure
+    # without the host link dominating (see scripts/probe_tunnel.py).
+    def track_rgbd_device(self, img_u8, depth_u16,
+                          timestamp: float) -> Optional[np.ndarray]:
+        return self._track_entry(img_u8, depth_u16, timestamp)
+
+    def track_stereo_device(self, img_l_u8, img_r_u8,
+                            timestamp: float) -> Optional[np.ndarray]:
+        return self._track_entry(img_l_u8, img_r_u8, timestamp)
+
+    def track_monocular_device(self, img_u8,
+                               timestamp: float) -> Optional[np.ndarray]:
+        return self._track_entry(img_u8, img_u8, timestamp)
 
     def _track_entry(self, raw_a, raw_b, timestamp: float):
         self.frame_id += 1

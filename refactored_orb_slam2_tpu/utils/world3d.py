@@ -132,6 +132,15 @@ def box_surfaces(center, size, seed, inward=False, albedo=1.0):
 _CHUNK = 16384  # rays per lax.map step: bounds peak (chunk, S) temporaries
 
 
+@jax.jit
+def _encode_frame_device(img: jax.Array, depth: jax.Array):
+    """Rendered f32 frame -> the tracker's wire encoding, on device
+    (mirrors system._encode_img/_encode_depth)."""
+    img_u8 = jnp.clip(img, 0.0, 255.0).astype(jnp.uint8)
+    depth_u16 = jnp.clip(depth * 1000.0, 0.0, 65535.0).astype(jnp.uint16)
+    return img_u8, depth_u16
+
+
 @partial(jax.jit, static_argnames=("h", "w"))
 def _raycast(p0, eu, ev, normal, inv_lu2, inv_lv2, seed, albedo,
              light, ambient, R, t, h: int, w: int, fx, fy, cx, cy,
@@ -247,6 +256,38 @@ class World3D:
         if want_depth:
             return img, np.asarray(depth, np.float32)
         return img
+
+    def render_device(self, Tcw: np.ndarray, cam, want_depth: bool = False,
+                      noise: float = 0.0, rng=None):
+        """Raycast a frame that STAYS ON DEVICE, already in the tracker's
+        wire encoding (uint8 grayscale; uint16 millimeter depth).
+
+        The production analog of a sensor DMA-ing frames into HBM: no
+        device->host round trip.  On the tunneled single-chip environment
+        any device->host readback permanently drops the transfer link into
+        a ~20 MB/s synchronous mode (scripts/probe_tunnel.py), so a
+        benchmark that renders on-device, downloads, and re-uploads would
+        measure the tunnel, not the tracker.  ``bench.py`` feeds these
+        frames through ``SlamSystem.track_rgbd_device``."""
+        h, w = cam.height, cam.width
+        if noise > 0:
+            rng = rng or np.random.default_rng(0)
+            noise_img = rng.normal(0.0, noise, (h, w)).astype(np.float32)
+        else:
+            noise_img = np.zeros((h, w), np.float32)
+        img, depth = _raycast(
+            *self._pack(), jnp.asarray(self.light), jnp.float32(self.ambient),
+            jnp.asarray(Tcw[:3, :3], jnp.float32),
+            jnp.asarray(Tcw[:3, 3], jnp.float32),
+            h, w,
+            jnp.float32(cam.fx), jnp.float32(cam.fy),
+            jnp.float32(cam.cx), jnp.float32(cam.cy),
+            jnp.asarray(noise_img),
+        )
+        img_u8, depth_u16 = _encode_frame_device(img, depth)
+        if want_depth:
+            return img_u8, depth_u16
+        return img_u8
 
     def render_stereo(self, Tcw, cam, noise=0.0, rng=None):
         """Left/right pair; right displaced by +baseline along camera x."""
