@@ -57,7 +57,8 @@ def main():
         orb=ORBConfig(n_features=1000, n_levels=8),
         map=MapConfig(max_keyframes=512, max_points=65536, max_obs_per_point=32),
     )
-    sys_ = SlamSystem(cfg, pipelined=True, pipeline_depth=3)
+    sys_ = SlamSystem(cfg, async_mapping=True, pipelined=True,
+                      pipeline_depth=3)
 
     # Pallas-vs-XLA guard: the CI suite pins CPU, so exercise the TPU kernel
     # here where the real chip is visible (VERDICT r1: "pallas tests can
@@ -96,15 +97,20 @@ def main():
     t_map = 0.0
     n_kf0 = 0
     times_warm_start = 0
-    orig_pipeline = sys_._mapping_pipeline
+    # time the mapping work where it actually runs: the async worker calls
+    # _mapping_core/_try_close_loop per queued keyframe (sync mode calls
+    # _mapping_pipeline inline; wrap all three to cover both)
+    for name in ("_mapping_core", "_try_close_loop"):
+        orig = getattr(sys_, name)
 
-    def timed_pipeline(kf):
-        nonlocal t_map
-        t0 = time.perf_counter()
-        orig_pipeline(kf)
-        t_map += time.perf_counter() - t0
+        def timed(kf, _orig=orig):
+            nonlocal t_map
+            t0 = time.perf_counter()
+            r = _orig(kf)
+            t_map += time.perf_counter() - t0
+            return r
 
-    sys_._mapping_pipeline = timed_pipeline
+        setattr(sys_, name, timed)
 
     for i, (img, depth) in enumerate(frames):
         t0 = time.perf_counter()
@@ -122,13 +128,17 @@ def main():
     t0 = time.perf_counter()
     sys_.flush_pipeline()
     times[-1] += time.perf_counter() - t0
+    n_kf_end = sys_.n_kf
+    # bounded drain of the mapping worker (untimed; a loop-spawned GBA may
+    # legitimately still be running — the stats below don't depend on it)
+    sys_.mapper.wait_idle(timeout=60)
 
     times = np.asarray(times[times_warm_start:])
     med = float(np.median(times))
     fps = 1.0 / med
-    n_kf = sys_.n_kf - n_kf0
+    n_kf = n_kf_end - n_kf0
     print(
-        f"frames={len(times)} lost={n_lost} kf={sys_.n_kf} pts={sys_.n_pt} "
+        f"frames={len(times)} lost={n_lost} kf={n_kf_end} pts={sys_.n_pt} "
         f"median={med * 1e3:.2f}ms mean={times.mean() * 1e3:.2f}ms "
         f"mapping={t_map / max(n_kf, 1) * 1e3:.1f}ms/kf pallas={sys_.use_pallas}",
         file=sys.stderr,
@@ -140,7 +150,8 @@ def main():
                 "value": round(fps, 2),
                 "unit": "frames/s median, full SlamSystem._track "
                         "(640x480 RGB-D, 1000 feats, 64k-point map, "
-                        "device-resident frames, pipeline depth 3)",
+                        "device-resident frames, pipeline depth 3, "
+                        "async mapping)",
                 "vs_baseline": round(fps / 30.0, 3),
             }
         )
@@ -161,3 +172,11 @@ def _pallas_selfcheck():
 
 if __name__ == "__main__":
     main()
+    # the async mapper / GBA threads are daemons mid-dispatch on a remote
+    # runtime; a normal interpreter teardown aborts inside their C++ frames
+    # ("terminate called ...").  Results are printed — exit without running
+    # C++ static destructors.
+    sys.stdout.flush()
+    sys.stderr.flush()
+    import os
+    os._exit(0)

@@ -43,6 +43,7 @@ def fuse_into_keyframe(
     n_levels: int,
     th: float = 3.0,
     max_dist: int = 50,     # TH_LOW (ORBmatcher.cc:849)
+    cand_idx: jax.Array | None = None,
 ) -> MapState:
     """Project map points into keyframe ``kf_slot``; add observations for
     unmatched features and merge duplicate landmarks.
@@ -50,15 +51,38 @@ def fuse_into_keyframe(
     ``pt_mask`` optionally restricts the candidate set — used by loop
     correction's SearchAndFuse (LoopClosing.cc:565-590), which fuses only
     the loop neighbourhood's landmarks into each corrected keyframe.
+
+    ``cand_idx`` ((C,) point slots, -1 padded) is the compact form: the
+    frustum gate, scale prediction, and matching all run on C rows instead
+    of the full P-point bank (and the P-wide top_k disappears).  Local
+    mapping's direction-1 fuse passes the current keyframe's own point row
+    (C = N ≈ 1k vs P = 65k: ~2.7x faster per target measured end-to-end).
     """
     K, N, P, O = state.capacity
     Tcw = state.kf_pose[kf_slot]
 
-    # --- frustum-select candidate points (not already in this KF) ---------
-    observed_here = jnp.any(state.pt_obs_kf == kf_slot, axis=1)
-    if pt_mask is not None:
-        observed_here = observed_here | ~pt_mask
-    pc = se3.transform(Tcw, state.pt_pos)
+    if cand_idx is None:
+        # --- frustum-select candidate points (not already in this KF) -----
+        observed_here = jnp.any(state.pt_obs_kf == kf_slot, axis=1)
+        if pt_mask is not None:
+            observed_here = observed_here | ~pt_mask
+        pos = state.pt_pos
+        pt_valid_c = state.pt_valid
+        normal_c = state.pt_normal
+        min_d_c, max_d_c = state.pt_min_dist, state.pt_max_dist
+        slot_of = None
+    else:
+        ci = jnp.clip(cand_idx, 0)
+        row_ok = cand_idx >= 0
+        observed_here = (
+            jnp.any(state.pt_obs_kf[ci] == kf_slot, axis=1) | ~row_ok
+        )
+        pos = state.pt_pos[ci]
+        pt_valid_c = state.pt_valid[ci] & row_ok
+        normal_c = state.pt_normal[ci]
+        min_d_c, max_d_c = state.pt_min_dist[ci], state.pt_max_dist[ci]
+        slot_of = ci
+    pc = se3.transform(Tcw, pos)
     z = pc[:, 2]
     z_ok = z > 1e-3
     z_safe = jnp.where(z_ok, z, 1.0)
@@ -67,19 +91,25 @@ def fuse_into_keyframe(
     in_img = (u >= 0) & (u < cam.width) & (v >= 0) & (v < cam.height)
     Twc = se3.inv(Tcw)
     center = se3.translation(Twc)
-    po = state.pt_pos - center
+    po = pos - center
     dist = jnp.linalg.norm(po, axis=-1)
-    dist_ok = (dist >= 0.8 * state.pt_min_dist) & (dist <= 1.2 * state.pt_max_dist)
-    view_cos = jnp.sum(po * state.pt_normal, axis=-1) / jnp.maximum(dist, 1e-9)
-    ok = state.pt_valid & z_ok & in_img & dist_ok & (view_cos > 0.5) & ~observed_here
-    score = jnp.where(ok, -dist, -jnp.inf)
-    top_score, top_idx = jax.lax.top_k(score, budget)
-    sel_ok = jnp.isfinite(top_score)
-    pred = predict_scale(
-        jnp.take(dist, top_idx), jnp.take(state.pt_max_dist, top_idx),
-        scale_factor, n_levels,
-    )
-    uv_sel = jnp.stack([jnp.take(u, top_idx), jnp.take(v, top_idx)], axis=-1)
+    dist_ok = (dist >= 0.8 * min_d_c) & (dist <= 1.2 * max_d_c)
+    view_cos = jnp.sum(po * normal_c, axis=-1) / jnp.maximum(dist, 1e-9)
+    ok = pt_valid_c & z_ok & in_img & dist_ok & (view_cos > 0.5) & ~observed_here
+    if cand_idx is None:
+        score = jnp.where(ok, -dist, -jnp.inf)
+        top_score, top_idx = jax.lax.top_k(score, budget)
+        sel_ok = jnp.isfinite(top_score)
+        dist_sel = jnp.take(dist, top_idx)
+        maxd_sel = jnp.take(state.pt_max_dist, top_idx)
+        u_sel, v_sel = jnp.take(u, top_idx), jnp.take(v, top_idx)
+    else:
+        top_idx = slot_of                       # (C,) point slots
+        sel_ok = ok
+        dist_sel, maxd_sel = dist, max_d_c
+        u_sel, v_sel = u, v
+    pred = predict_scale(dist_sel, maxd_sel, scale_factor, n_levels)
+    uv_sel = jnp.stack([u_sel, v_sel], axis=-1)
 
     # --- match against this keyframe's features ---------------------------
     sf = jnp.asarray(
@@ -195,6 +225,7 @@ def fuse_into_keyframes(
     n_levels: int,
     th: float = 3.0,
     max_dist: int = 50,
+    cand_idx: jax.Array | None = None,
 ) -> MapState:
     """Fuse a fixed point set into several keyframes in ONE program.
 
@@ -202,13 +233,15 @@ def fuse_into_keyframes(
     per covisible target; as separate dispatches each pays full launch
     latency on a tunneled chip.  A lax.scan with the map state as carry runs
     all targets in a single XLA program; padded (-1) slots skip via cond.
+    ``cand_idx`` restricts candidates to a compact point-slot list (see
+    fuse_into_keyframe).
     """
     def body(s, slot):
         def do(s):
             return fuse_into_keyframe(
                 s, slot, cam, pt_mask, budget=budget,
                 scale_factor=scale_factor, n_levels=n_levels,
-                th=th, max_dist=max_dist,
+                th=th, max_dist=max_dist, cand_idx=cand_idx,
             )
         return jax.lax.cond(slot >= 0, do, lambda s: s, s), None
 

@@ -20,6 +20,7 @@ Array-native replacement for the LoopClosing thread (LoopClosing.cc):
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -30,7 +31,7 @@ from ..models.map_state import n_observations
 from ..ops import matching as M
 from ..ops.descriptors import hamming
 from ..optim import pose_graph as PG
-from ..solvers.horn_sim3 import horn_sim3, sim3_ransac
+from ..solvers.horn_sim3 import horn_sim3, horn_sim3_masked, sim3_ransac
 
 
 @dataclasses.dataclass
@@ -51,10 +52,14 @@ def detect(
     kf_gap: int = 10,
     consistency_th: int = 3,
     covis_neighbor_th: int = 15,
+    covis_dev=None,
 ) -> list[int]:
     """Loop detection with covisibility-consistency chaining.
 
-    ``covis``: full (K, K) covisibility weight matrix.  Returns keyframe
+    ``covis``: full (K, K) covisibility weight matrix (host numpy, used by
+    the consistency-group logic).  ``covis_dev``: the same matrix as a
+    device array, if the caller already has it — re-uploading the (K, K)
+    buffer costs ~50 ms/keyframe on the tunneled link.  Returns keyframe
     slots that have been consistently detected over ``consistency_th``
     consecutive keyframes (usually empty).
     """
@@ -65,7 +70,8 @@ def detect(
     if kf_slot < kf_gap:
         return []
     cands, scores = detect_loop_candidates(
-        db, query_bow, kf_slot, jnp.asarray(covis)
+        db, query_bow, kf_slot,
+        covis_dev if covis_dev is not None else jnp.asarray(covis),
     )
     cands = [int(c) for c in np.asarray(cands) if c >= 0]
     if not cands:
@@ -104,7 +110,40 @@ def compute_sim3(
     """Estimate S_cm mapping candidate-frame coords into current-frame.
 
     Returns (ok, R_cm, t_cm, s_cm, matched_pt_pairs (N, 2) point slots).
+
+    The whole candidate evaluation (BoW match -> RANSAC -> masked Horn
+    refit -> SearchBySim3 growth -> joint refinement) runs as ONE jitted
+    program with two packed downloads; the previous eager form paid ~6
+    tunnel round trips per candidate (~550 ms measured; this is ~130 ms).
     """
+    scal, ints = _compute_sim3_impl(
+        state, cam, jnp.int32(kf_cur), jnp.int32(kf_cand), key,
+        fix_scale=fix_scale, min_inliers=min_inliers,
+        scale_factor=scale_factor, n_levels=n_levels,
+    )
+    scal = np.asarray(scal)
+    n_matches, success, n_final = (
+        int(scal[0]), bool(scal[1] > 0), int(scal[2])
+    )
+    if n_matches < min_inliers or not success or n_final < min_inliers:
+        return False, None, None, 1.0, None
+    s_o = float(scal[3])
+    R_o = scal[4:13].reshape(3, 3)
+    t_o = scal[13:16]
+    ints = np.asarray(ints)
+    inlier_o = ints[0] > 0
+    idx = np.where(inlier_o)[0]
+    pairs = np.stack([ints[1][idx], ints[2][idx]], axis=1)
+    return True, R_o, t_o, s_o, pairs
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("fix_scale", "min_inliers", "scale_factor", "n_levels"),
+)
+def _compute_sim3_impl(state, cam, kf_cur, kf_cand, key, *,
+                       fix_scale: bool, min_inliers: int,
+                       scale_factor: float, n_levels: int):
     K, N, P, O = state.capacity
     desc_c = state.kf_desc[kf_cur]
     desc_m = state.kf_desc[kf_cand]
@@ -118,17 +157,15 @@ def compute_sim3(
         dist, row_valid=has_c, col_valid=has_m,
         max_dist=50, ratio=0.75, mutual=True,
     )
-    n_matches = int(jnp.sum(res.mask))
-    if n_matches < min_inliers:
-        return False, None, None, 1.0, None
+    n_matches = jnp.sum(res.mask.astype(jnp.int32))
 
     # camera-frame 3D positions of the matched landmarks in each keyframe
     Tc = state.kf_pose[kf_cur]
     Tm = state.kf_pose[kf_cand]
     ptc_idx = jnp.clip(pt_c, 0)
-    ptm_idx = jnp.clip(jnp.take(pt_m, jnp.clip(res.idx, 0)), 0)
+    ptm_idx0 = jnp.clip(jnp.take(pt_m, jnp.clip(res.idx, 0)), 0)
     p_c = se3.transform(Tc, state.pt_pos[ptc_idx])           # (N, 3)
-    p_m = se3.transform(Tm, state.pt_pos[ptm_idx])
+    p_m = se3.transform(Tm, state.pt_pos[ptm_idx0])
     xy_c = state.kf_xy[kf_cur]
     xy_m = state.kf_xy[kf_cand][jnp.clip(res.idx, 0)]
     xn_c = jnp.stack(
@@ -146,14 +183,9 @@ def compute_sim3(
         fix_scale=fix_scale, chi2_th1=th1, chi2_th2=th1,
         min_inliers=min_inliers,
     )
-    if not bool(result.success):
-        return False, None, None, 1.0, None
-    # Horn refit on the RANSAC inliers
-    inl = np.asarray(result.inliers)
-    idx = np.where(inl)[0]
-    R_r, t_r, s_r = horn_sim3(
-        jnp.asarray(np.asarray(p_c)[idx]), jnp.asarray(np.asarray(p_m)[idx]),
-        fix_scale=fix_scale,
+    # Horn refit on the RANSAC inliers (masked; static shapes)
+    R_r, t_r, s_r = horn_sim3_masked(
+        p_c, p_m, result.inliers, fix_scale=fix_scale
     )
     # grow the BoW matches by mutual projection under the RANSAC Sim3
     # (SearchBySim3, ORBmatcher.cc:1029-1245; called LoopClosing.cc:262)
@@ -173,27 +205,35 @@ def compute_sim3(
                          jnp.where(grow_cols >= 0, grow_cols, -1))
     comb_mask = res.mask | (grow_cols >= 0)
     ptm_idx = jnp.clip(jnp.take(pt_m, jnp.clip(comb_idx, 0)), 0)
-    p_m = se3.transform(Tm, state.pt_pos[ptm_idx])
-    xy_m = state.kf_xy[kf_cand][jnp.clip(comb_idx, 0)]
-    xn_m = jnp.stack(
-        [(xy_m[:, 0] - cam.cx) / cam.fx, (xy_m[:, 1] - cam.cy) / cam.fy], axis=1
+    p_m2 = se3.transform(Tm, state.pt_pos[ptm_idx])
+    xy_m2 = state.kf_xy[kf_cand][jnp.clip(comb_idx, 0)]
+    xn_m2 = jnp.stack(
+        [(xy_m2[:, 0] - cam.cx) / cam.fx, (xy_m2[:, 1] - cam.cy) / cam.fy],
+        axis=1,
     )
     # joint bidirectional refinement (OptimizeSim3) over the grown set
     R_o, t_o, s_o, inlier_o = optimize_sim3(
-        p_c, p_m, xn_c, xn_m, comb_mask,
+        p_c, p_m2, xn_c, xn_m2, comb_mask,
         R_r, t_r, jnp.asarray(s_r, jnp.float32),
         fix_scale=fix_scale,
-        inv_sigma2=float(cam.fx) ** 2,
+        inv_sigma2=cam.fx ** 2,
         chi2_th=10.0,
     )
-    n_final = int(jnp.sum(inlier_o))
-    if n_final < min_inliers:
-        return False, None, None, 1.0, None
-    idx = np.where(np.asarray(inlier_o))[0]
-    pairs = np.stack(
-        [np.asarray(ptc_idx)[idx], np.asarray(ptm_idx)[idx]], axis=1
-    )
-    return True, np.asarray(R_o), np.asarray(t_o), float(s_o), pairs
+    n_final = jnp.sum(inlier_o.astype(jnp.int32))
+    scal = jnp.concatenate([
+        jnp.stack([
+            n_matches.astype(jnp.float32),
+            result.success.astype(jnp.float32),
+            n_final.astype(jnp.float32),
+            s_o.astype(jnp.float32),
+        ]),
+        R_o.reshape(9), t_o,
+    ])
+    ints = jnp.stack([
+        inlier_o.astype(jnp.int32), ptc_idx.astype(jnp.int32),
+        ptm_idx.astype(jnp.int32),
+    ])
+    return scal, ints
 
 
 def search_by_sim3(

@@ -116,6 +116,66 @@ def _huber_vec(chi2, delta2):
     return jnp.where(chi2 <= delta2, 1.0, jnp.sqrt(delta2 / e))
 
 
+def _inv3x3(M):
+    """Closed-form batched 3x3 inverse (adjugate / det).
+
+    ``jnp.linalg.inv`` lowers batched 3x3 blocks to LU and measures
+    ~60x slower on v5e (6.7 ms vs 0.11 ms for 8192 blocks, slope-timed);
+    the LM point blocks are always 3x3 so the cofactor form is exact."""
+    a, b, c = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
+    d, e, f = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
+    g, h, i = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2]
+    A = e * i - f * h
+    B = c * h - b * i
+    C = b * f - c * e
+    D = f * g - d * i
+    E = a * i - c * g
+    F = c * d - a * f
+    G = d * h - e * g
+    H = b * g - a * h
+    I = a * e - b * d
+    det = a * A + b * D + c * G
+    adj = jnp.stack([
+        jnp.stack([A, B, C], -1),
+        jnp.stack([D, E, F], -1),
+        jnp.stack([G, H, I], -1),
+    ], -2)
+    return adj / det[..., None, None]
+
+
+def _seg_sum_oh(vals, idx, K: int):
+    """Segment-sum as chunked one-hot matmuls: (N, ...) + (N,) -> (K, ...).
+
+    XLA lowers ``segment_sum`` with scattered indices to a serialized
+    scatter on TPU (measured 750 ms for 262k x 36 -> 64 on v5e); a one-hot
+    (chunk, K) matmul does the identical reduction on the MXU in ~0.4 ms.
+    Chunking bounds the one-hot buffer to ~64 MB at any N*K."""
+    N = vals.shape[0]
+    tail = vals.shape[1:]
+    D = 1
+    for s in tail:
+        D *= s
+    v = vals.reshape(N, D)
+    target = 1 << 24                       # one-hot f32 elements per chunk
+    C = max(1, -(-N * K // target))
+    while N % C:
+        C += 1
+    if C == 1:
+        oh = jax.nn.one_hot(idx, K, dtype=v.dtype)
+        out = oh.T @ v
+    else:
+        def body(acc, ab):
+            vv, ii = ab
+            oh = jax.nn.one_hot(ii, K, dtype=vv.dtype)
+            return acc + oh.T @ vv, None
+
+        out, _ = jax.lax.scan(
+            body, jnp.zeros((K, D), v.dtype),
+            (v.reshape(C, N // C, D), idx.reshape(C, N // C)),
+        )
+    return out.reshape((K,) + tail)
+
+
 def _assemble(cam: Camera, prob: BAProblem, poses, points, lam, use_huber):
     """Shared LM block assembly: U/V/W/Y blocks + reduced rhs.
 
@@ -134,27 +194,34 @@ def _assemble(cam: Camera, prob: BAProblem, poses, points, lam, use_huber):
     Vd = V_damp + jnp.where(
         (jnp.abs(jnp.linalg.det(V_damp)) < 1e-12)[:, None, None], jnp.eye(3), 0.0
     )
-    V_inv = jnp.linalg.inv(Vd)
+    V_inv = _inv3x3(Vd)
 
-    # U (camera blocks) and b_c via scatter over kf index
     kf_idx = jnp.clip(prob.obs_kf, 0)
     kf_flat = kf_idx.reshape(-1)
     Uc_e = jnp.einsum("pori,por,porj->poij", Jc, w, Jc).reshape(P * O, 6, 6)
-    U = jax.ops.segment_sum(Uc_e, kf_flat, num_segments=K)
     bc_e = jnp.einsum("pori,por,por->poi", Jc, w, r).reshape(P * O, 6)
-    b_c = jax.ops.segment_sum(bc_e, kf_flat, num_segments=K)
 
     # W blocks (P, O, 6, 3) and Y = W V^-1
     Wb = jnp.einsum("pori,por,porj->poij", Jc, w, Jp)
     Y = jnp.einsum("poij,pjk->poik", Wb, V_inv)
+    red_e = jnp.einsum("poij,pj->poi", Y, b_p).reshape(P * O, 6)
+
+    # U (camera blocks), b_c, and the Y b_p reduction share one fused
+    # one-hot reduction over the kf index (48 columns per edge)
+    packed = jnp.concatenate(
+        [Uc_e.reshape(P * O, 36), bc_e, red_e], axis=1
+    )
+    seg = _seg_sum_oh(packed, kf_flat, K)
+    U = seg[:, :36].reshape(K, 6, 6)
+    b_c = seg[:, 36:42]
+    b_red_y = seg[:, 42:48]
 
     # LM damping on camera blocks
     lamU = lam * jax.vmap(jnp.diag)(jax.vmap(jnp.diag)(U)) + 1e-9 * jnp.eye(6)
     U_damped = U + lamU
 
     # reduced rhs: b_c - sum_o Y b_p
-    red_e = jnp.einsum("poij,pj->poi", Y, b_p).reshape(P * O, 6)
-    b_red = b_c - jax.ops.segment_sum(red_e, kf_flat, num_segments=K)
+    b_red = b_c - b_red_y
 
     free = (prob.kf_valid & ~prob.kf_fixed).astype(poses.dtype)
     b_red = b_red * free[:, None]
@@ -170,9 +237,11 @@ def _solve_dense(a, K):
     by camera — a (K*6*3, P) x (P, K*6*3)-shaped MXU contraction instead of
     the O(O^2) segment-sum unroll."""
     P, O = a["kf_idx"].shape
-    rows = jnp.arange(P)[:, None]
-    binsA = jnp.zeros((P, K, 6, 3), a["Y"].dtype).at[rows, a["kf_idx"]].add(a["Y"])
-    binsB = jnp.zeros((P, K, 6, 3), a["Wb"].dtype).at[rows, a["kf_idx"]].add(a["Wb"])
+    # per-point camera bins via one-hot einsum: the scatter-add form
+    # measures 22 ms vs 0.6 ms on v5e (serialized TPU scatter)
+    oh = jax.nn.one_hot(a["kf_idx"], K, dtype=a["Y"].dtype)   # (P, O, K)
+    binsA = jnp.einsum("poij,pok->pkij", a["Y"], oh)
+    binsB = jnp.einsum("poij,pok->pkij", a["Wb"], oh)
     S = -jnp.einsum("paij,pbkj->abik", binsA, binsB)          # (K, K, 6, 6)
     diag_idx = jnp.arange(K)
     S = S.at[diag_idx, diag_idx].add(a["U_damped"])
@@ -205,7 +274,7 @@ def _solve_pcg(a, K, n_cg):
         wtx = jnp.einsum("poij,poi->pj", Wb, xo)              # (P, 3)
         vy = jnp.einsum("pij,pj->pi", V_inv, wtx)
         wy_e = jnp.einsum("poij,pj->poi", Wb, vy).reshape(P * O, 6)
-        wy = jax.ops.segment_sum(wy_e, kf_flat, num_segments=K)
+        wy = _seg_sum_oh(wy_e, kf_flat, K)
         # free rows get S x; fixed/invalid rows act as identity
         return (ux - wy) * free[:, None] + (x - xf)
 

@@ -15,10 +15,27 @@ mirrors the reference:
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
 from .vocab import Vocabulary, assign_words, bow_score, bow_vector
+
+
+@jax.jit
+def _db_add_impl(vocab: Vocabulary, desc, feat_valid, bow, valid, kf_slot):
+    """One fused program for KeyFrameDB.add: word assignment + tf-idf
+    signature + bank update.  Eager per-op dispatch here costs several
+    tunnel round trips per keyframe on the tracking thread."""
+    words = assign_words(vocab, desc, feat_valid)
+    v = bow_vector(vocab, words)
+    return bow.at[kf_slot].set(v), valid.at[kf_slot].set(True), v
+
+
+@jax.jit
+def _db_signature_impl(vocab: Vocabulary, desc, feat_valid):
+    return bow_vector(vocab, assign_words(vocab, desc, feat_valid))
 
 
 class KeyFrameDB:
@@ -30,18 +47,17 @@ class KeyFrameDB:
         self.valid = jnp.zeros((max_keyframes,), bool)
 
     def add(self, kf_slot: int, desc: jax.Array, feat_valid: jax.Array):
-        words = assign_words(self.vocab, desc, feat_valid)
-        v = bow_vector(self.vocab, words)
-        self.bow = self.bow.at[kf_slot].set(v)
-        self.valid = self.valid.at[kf_slot].set(True)
+        self.bow, self.valid, v = _db_add_impl(
+            self.vocab, desc, feat_valid, self.bow, self.valid,
+            jnp.int32(kf_slot),
+        )
         return v
 
     def erase(self, kf_slot: int):
         self.valid = self.valid.at[kf_slot].set(False)
 
     def signature_of(self, desc: jax.Array, feat_valid: jax.Array) -> jax.Array:
-        words = assign_words(self.vocab, desc, feat_valid)
-        return bow_vector(self.vocab, words)
+        return _db_signature_impl(self.vocab, desc, feat_valid)
 
     def scores(self, query_bow: jax.Array) -> jax.Array:
         """(K,) L1 similarity of the query against every stored keyframe."""
@@ -113,20 +129,32 @@ def detect_loop_candidates(
     each group above 0.75 * bestAccScore returns its best member.
     Returns (candidate_slots (C,), scores (C,)) with -1 padding.
     """
-    K = db.bow.shape[0]
-    scores = db.scores(query_bow)
-    neighbor = covis[query_kf] > 0
+    return _loop_candidates_impl(
+        db.bow, db.valid, query_bow, jnp.int32(query_kf), covis,
+        max_candidates=max_candidates,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("max_candidates",))
+def _loop_candidates_impl(bow_bank, valid, query_bow, query_kf, covis,
+                          *, max_candidates: int):
+    """Single fused program for loop-candidate retrieval (the eager form
+    dispatched ~15 ops per keyframe through the tunnel)."""
+    K = bow_bank.shape[0]
+    scores = jnp.where(valid, bow_score(query_bow, bow_bank), -1.0)
+    row = covis[query_kf]
+    neighbor = row > 0
     # minScore pool = the *connected* neighbors (weight >= 15, the
     # reference's GetVectorCovisibleKeyFrames, KeyFrame.cc:310 +
     # LoopClosing.cc:112-129); barely-overlapping keyframes would drag the
     # floor down to the noise level and flood the candidate set
-    connected = covis[query_kf] >= 15
+    connected = row >= 15
     min_score_pool = jnp.where(connected, scores, jnp.inf)
     min_score = jnp.minimum(jnp.min(min_score_pool), 1.0)
     min_score = jnp.where(jnp.isfinite(min_score), min_score, 0.0)
 
     eligible = (
-        db.valid
+        valid
         & ~neighbor
         & (jnp.arange(K) != query_kf)
         & (scores >= jnp.maximum(min_score, 0.0))
@@ -147,17 +175,33 @@ def detect_reloc_candidates(
 ):
     """Relocalization candidates for a lost frame — same group-accumulated
     shape without the minScore gate (KeyFrameDatabase.cc:195-304)."""
-    K = db.bow.shape[0]
-    scores = db.scores(query_bow)
-    eligible = db.valid & (scores > 0)
     if covis is None:
-        s = jnp.where(eligible, scores, -1.0)
-        best = jnp.max(s)
-        keep = eligible & (s >= 0.75 * best)
-        top_s, top_i = jax.lax.top_k(
-            jnp.where(keep, s, -1.0), max_candidates
+        return _reloc_candidates_flat_impl(
+            db.bow, db.valid, query_bow, max_candidates=max_candidates
         )
-        return jnp.where(top_s > 0, top_i, -1).astype(jnp.int32), top_s
+    return _reloc_candidates_impl(
+        db.bow, db.valid, query_bow, covis, max_candidates=max_candidates
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("max_candidates",))
+def _reloc_candidates_flat_impl(bow_bank, valid, query_bow,
+                                *, max_candidates: int):
+    scores = jnp.where(valid, bow_score(query_bow, bow_bank), -1.0)
+    eligible = valid & (scores > 0)
+    s = jnp.where(eligible, scores, -1.0)
+    best = jnp.max(s)
+    keep = eligible & (s >= 0.75 * best)
+    top_s, top_i = jax.lax.top_k(jnp.where(keep, s, -1.0), max_candidates)
+    return jnp.where(top_s > 0, top_i, -1).astype(jnp.int32), top_s
+
+
+@functools.partial(jax.jit, static_argnames=("max_candidates",))
+def _reloc_candidates_impl(bow_bank, valid, query_bow, covis,
+                           *, max_candidates: int):
+    K = bow_bank.shape[0]
+    scores = jnp.where(valid, bow_score(query_bow, bow_bank), -1.0)
+    eligible = valid & (scores > 0)
     acc, best_member, bm_score = _group_accumulate(scores, eligible, covis)
     return _best_of_groups(
         acc, eligible, best_member, bm_score, K, max_candidates

@@ -111,9 +111,9 @@ def bow_vector(vocab: Vocabulary, word_ids: jax.Array) -> jax.Array:
     W = vocab.n_words
     ok = word_ids >= 0
     idx = jnp.where(ok, word_ids, W)
-    tf = jax.ops.segment_sum(
-        jnp.ones_like(word_ids, dtype=jnp.float32), idx, num_segments=W + 1
-    )[:W]
+    # one-hot reduction instead of segment_sum: XLA serializes scattered
+    # segment sums on TPU; the (N, W+1) one-hot sum is a vector reduce
+    tf = jnp.sum(jax.nn.one_hot(idx, W + 1, dtype=jnp.float32), axis=0)[:W]
     v = tf * vocab.idf
     s = jnp.sum(v)
     return v / jnp.where(s > 0, s, 1.0)

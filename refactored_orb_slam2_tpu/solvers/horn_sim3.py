@@ -65,6 +65,48 @@ def horn_sim3(p1: jax.Array, p2: jax.Array, fix_scale: bool):
     return R, t, s
 
 
+def horn_sim3_masked(p1: jax.Array, p2: jax.Array, mask: jax.Array,
+                     fix_scale: bool):
+    """Horn alignment over the masked subset of (N, 3) rows — the jittable
+    form of the host-side ``p1[idx]`` refit (static shapes, weight-zeroed
+    rows instead of compaction)."""
+    w = mask.astype(p1.dtype)
+    n = jnp.maximum(jnp.sum(w), 1.0)
+    mu1 = jnp.sum(p1 * w[:, None], axis=0) / n
+    mu2 = jnp.sum(p2 * w[:, None], axis=0) / n
+    a = (p1 - mu1) * w[:, None]
+    b = (p2 - mu2) * w[:, None]
+    M = b.T @ a
+    Sxx, Sxy, Sxz = M[0, 0], M[0, 1], M[0, 2]
+    Syx, Syy, Syz = M[1, 0], M[1, 1], M[1, 2]
+    Szx, Szy, Szz = M[2, 0], M[2, 1], M[2, 2]
+    N = jnp.asarray(
+        [
+            [Sxx + Syy + Szz, Syz - Szy, Szx - Sxz, Sxy - Syx],
+            [Syz - Szy, Sxx - Syy - Szz, Sxy + Syx, Szx + Sxz],
+            [Szx - Sxz, Sxy + Syx, -Sxx + Syy - Szz, Syz + Szy],
+            [Sxy - Syx, Szx + Sxz, Syz + Szy, -Sxx - Syy + Szz],
+        ]
+    )
+    w_eig, v = jnp.linalg.eigh(N)
+    q = v[:, 3]
+    qw, qx, qy, qz = q[0], q[1], q[2], q[3]
+    R = jnp.asarray(
+        [
+            [1 - 2 * (qy * qy + qz * qz), 2 * (qx * qy - qw * qz), 2 * (qx * qz + qw * qy)],
+            [2 * (qx * qy + qw * qz), 1 - 2 * (qx * qx + qz * qz), 2 * (qy * qz - qw * qx)],
+            [2 * (qx * qz - qw * qy), 2 * (qy * qz + qw * qx), 1 - 2 * (qx * qx + qy * qy)],
+        ]
+    )
+    rb = b @ R.T
+    if fix_scale:
+        s = jnp.asarray(1.0, dtype=p1.dtype)
+    else:
+        s = jnp.sum(a * rb) / jnp.maximum(jnp.sum(rb * rb), 1e-12)
+    t = mu1 - s * (R @ mu2)
+    return R, t, s
+
+
 def sim3_ransac(
     p1: jax.Array,
     p2: jax.Array,

