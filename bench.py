@@ -20,8 +20,11 @@ tunneled single-chip environment's host<->device link degrades to ~20 MB/s
 after the first readback (measured; scripts/probe_tunnel.py), so routing
 0.9 MB frames through the host would measure the tunnel (~46 ms/frame
 floor), not the tracker.  Tracking runs optimistically pipelined at depth
-3 (ARCHITECTURE.md): results are resolved 3 frames late, bit-parity with
-sync mode on this orbit is asserted by lost=0 + the keyframe count.
+3 (ARCHITECTURE.md): results are resolved 3 frames late.  Each timed pass
+asserts lost == 0, a plausible keyframe count, and that the async
+mapping/loop workers are still alive (a dead worker would silently skip
+mapping and inflate FPS).  Three timed passes; the headline is the median
+of the per-pass medians, with the spread reported alongside.
 
 Prints ONE JSON line.  Baseline: the reference runs real-time at the
 dataset rate (TUM 30 fps, mono_tum.cc:106-113 pacing), so
@@ -92,55 +95,95 @@ def main():
     sys_.reset()
     print("pre-roll done; tracking...", file=sys.stderr, flush=True)
 
-    times = []
-    n_lost = 0
-    t_map = 0.0
-    n_kf0 = 0
-    times_warm_start = 0
     # time the mapping work where it actually runs: the async worker calls
     # _mapping_core/_try_close_loop per queued keyframe (sync mode calls
-    # _mapping_pipeline inline; wrap all three to cover both)
+    # _mapping_pipeline inline; wrap all three to cover both).  Two worker
+    # threads update the accumulator concurrently -> guard with a lock
+    # (off the hot path).
+    import threading
+
+    map_acc = {"t": 0.0}
+    map_lock = threading.Lock()
     for name in ("_mapping_core", "_try_close_loop"):
         orig = getattr(sys_, name)
 
         def timed(kf, _orig=orig):
-            nonlocal t_map
             t0 = time.perf_counter()
             r = _orig(kf)
-            t_map += time.perf_counter() - t0
+            dt = time.perf_counter() - t0
+            with map_lock:
+                map_acc["t"] += dt
             return r
 
         setattr(sys_, name, timed)
 
-    for i, (img, depth) in enumerate(frames):
+    def run_pass(tag):
+        """One timed pass over the frame sequence on a fresh map (jit
+        caches survive reset()).  Returns per-frame stats; asserts the
+        pass was healthy — a crashed mapping/loop worker or lost tracking
+        would otherwise silently inflate the FPS number."""
+        sys_.reset()
+        with map_lock:
+            map_acc["t"] = 0.0
+        times = []
+        n_lost = 0
+        n_kf0 = 0
+        warm_start = 0
+        for i, (img, depth) in enumerate(frames):
+            t0 = time.perf_counter()
+            pose = sys_.track_rgbd_device(img, depth, i / 30.0)
+            times.append(time.perf_counter() - t0)
+            if pose is None:
+                n_lost += 1
+            if i == 19:  # warmup boundary (cadence settling)
+                warm_start = len(times)
+                n_kf0 = sys_.n_kf
+                with map_lock:
+                    map_acc["t"] = 0.0
         t0 = time.perf_counter()
-        pose = sys_.track_rgbd_device(img, depth, i / 30.0)
-        times.append(time.perf_counter() - t0)
-        if pose is None:
-            n_lost += 1
-        if i == 19:  # compile/warmup boundary
-            times_warm_start = len(times)
-            n_kf0 = sys_.n_kf
-            t_map = 0.0
-        if (i + 1) % 40 == 0:
-            print(f"  frame {i + 1}: {times[-1] * 1e3:.1f} ms", file=sys.stderr,
-                  flush=True)
-    t0 = time.perf_counter()
-    sys_.flush_pipeline()
-    times[-1] += time.perf_counter() - t0
-    n_kf_end = sys_.n_kf
-    # bounded drain of the mapping worker (untimed; a loop-spawned GBA may
-    # legitimately still be running — the stats below don't depend on it)
-    sys_.mapper.wait_idle(timeout=60)
+        sys_.flush_pipeline()
+        times[-1] += time.perf_counter() - t0
+        n_kf_end = sys_.n_kf
+        # bounded drain of the mapping worker (untimed; a loop-spawned GBA
+        # may legitimately still be running — the stats don't depend on it)
+        sys_.mapper.wait_idle(timeout=60)
+        if sys_.mapper._exc is not None:
+            raise RuntimeError(
+                f"mapping/loop worker died during pass {tag}: "
+                f"{sys_.mapper._exc!r}"
+            )
+        assert n_lost == 0, f"pass {tag}: tracking lost {n_lost} frames"
+        n_kf = n_kf_end - n_kf0
+        assert 4 <= n_kf_end <= 64, (
+            f"pass {tag}: implausible keyframe count {n_kf_end} "
+            "(mapping silently skipped or cadence broken)"
+        )
+        times = np.asarray(times[warm_start:])
+        med = float(np.median(times))
+        mean = float(times.mean())
+        with map_lock:
+            t_map = map_acc["t"]
+        print(
+            f"  pass {tag}: frames={len(times)} lost={n_lost} kf={n_kf_end} "
+            f"pts={sys_.n_pt} median={med * 1e3:.2f}ms mean={mean * 1e3:.2f}ms "
+            f"mapping={t_map / max(n_kf, 1) * 1e3:.1f}ms/kf",
+            file=sys.stderr, flush=True,
+        )
+        return med, mean
 
-    times = np.asarray(times[times_warm_start:])
-    med = float(np.median(times))
+    # 3 timed passes (compile pre-roll already done): report the median of
+    # the per-pass medians plus the spread, so a single lucky/unlucky draw
+    # on the tunneled chip can't set the headline (VERDICT r4 item 6).
+    results = [run_pass(k + 1) for k in range(3)]
+    meds = sorted(r[0] for r in results)
+    means = sorted(r[1] for r in results)
+    med = meds[1]
+    mean = means[1]
+    spread_pct = (meds[-1] - meds[0]) / med * 100.0
     fps = 1.0 / med
-    n_kf = n_kf_end - n_kf0
     print(
-        f"frames={len(times)} lost={n_lost} kf={n_kf_end} pts={sys_.n_pt} "
-        f"median={med * 1e3:.2f}ms mean={times.mean() * 1e3:.2f}ms "
-        f"mapping={t_map / max(n_kf, 1) * 1e3:.1f}ms/kf pallas={sys_.use_pallas}",
+        f"median-of-3: {med * 1e3:.2f}ms (spread {spread_pct:.1f}%) "
+        f"mean-of-3: {mean * 1e3:.2f}ms pallas={sys_.use_pallas}",
         file=sys.stderr,
     )
     print(
@@ -148,11 +191,15 @@ def main():
             {
                 "metric": "system_tracking_fps",
                 "value": round(fps, 2),
-                "unit": "frames/s median, full SlamSystem._track "
-                        "(640x480 RGB-D, 1000 feats, 64k-point map, "
-                        "device-resident frames, pipeline depth 3, "
-                        "async mapping)",
+                "unit": "frames/s median (median of 3 passes), full "
+                        "SlamSystem._track (640x480 RGB-D, 1000 feats, "
+                        "64k-point map, device-resident frames, pipeline "
+                        "depth 3, async mapping)",
                 "vs_baseline": round(fps / 30.0, 3),
+                "median_ms": round(med * 1e3, 2),
+                "mean_ms": round(mean * 1e3, 2),
+                "mean_fps": round(1.0 / mean, 2),
+                "median_spread_pct": round(spread_pct, 1),
             }
         )
     )

@@ -61,6 +61,11 @@ def fuse_into_keyframe(
     K, N, P, O = state.capacity
     Tcw = state.kf_pose[kf_slot]
 
+    if cand_idx is not None and pt_mask is not None:
+        raise ValueError(
+            "fuse_into_keyframe: pt_mask is only honoured in the full-bank "
+            "path; fold the mask into cand_idx (or pass cand_idx=None)"
+        )
     if cand_idx is None:
         # --- frustum-select candidate points (not already in this KF) -----
         observed_here = jnp.any(state.pt_obs_kf == kf_slot, axis=1)
@@ -261,6 +266,75 @@ def update_visibility(
     fnd_idx = jnp.where(found_pt >= 0, found_pt, P)
     pt_found = state.pt_found.at[fnd_idx].add(1, mode="drop")
     return state._replace(pt_visible=pt_visible, pt_found=pt_found)
+
+
+def cull_recent_map_points(
+    state: MapState,
+    current_kf: jax.Array,
+    n_pt: jax.Array,
+    *,
+    recent_cap: int = 4096,
+    recent_window: int = 2,
+    min_found_ratio: float = 0.25,
+    min_obs_stereo: int = 3,
+) -> MapState:
+    """MapPointCulling over the RECENT point slots only.
+
+    The reference iterates ``mlpRecentAddedMapPoints`` exclusively
+    (LocalMapping.cc:155-183) — both the found-ratio and the
+    too-few-observations tests apply to recently created points, not the
+    whole bank.  Point slots are allocated monotonically, so the recent
+    set is a contiguous ``recent_cap`` slice ending at ``n_pt``; operating
+    on the slice instead of the full (P, O) bank cuts the per-keyframe
+    cull from ~25 ms to ~2 ms at P=65k on v5e (profile_mapping2.py), and
+    the keyframe-side back-pointer cleanup scatters only the slice's own
+    observation pairs.
+    """
+    K, N, P, O = state.capacity
+    R = min(recent_cap, P)
+    start = jnp.clip(n_pt.astype(jnp.int32) - R, 0, P - R)
+
+    sl = lambda x: jax.lax.dynamic_slice_in_dim(x, start, R, axis=0)
+    r_valid = sl(state.pt_valid)
+    r_found = sl(state.pt_found)
+    r_visible = sl(state.pt_visible)
+    r_first = sl(state.pt_first_kf)
+    r_obs_kf = sl(state.pt_obs_kf)
+    r_obs_ft = sl(state.pt_obs_feat)
+
+    n_obs = jnp.sum((r_obs_kf >= 0).astype(jnp.int32), axis=1)
+    ratio = r_found.astype(jnp.float32) / jnp.maximum(
+        r_visible.astype(jnp.float32), 1.0
+    )
+    seen_enough = r_visible >= 3
+    bad_ratio = seen_enough & (ratio < min_found_ratio)
+    age = current_kf - r_first
+    recent = (age >= recent_window) & (age <= recent_window + 1)
+    too_few = recent & (n_obs < min_obs_stereo)
+    cull = r_valid & (bad_ratio | too_few)
+
+    upd = lambda x, v: jax.lax.dynamic_update_slice_in_dim(x, v, start, axis=0)
+    pt_valid = upd(state.pt_valid, r_valid & ~cull)
+    new_obs_kf = jnp.where(cull[:, None], -1, r_obs_kf)
+    new_obs_ft = jnp.where(cull[:, None], -1, r_obs_ft)
+    pt_obs_kf = upd(state.pt_obs_kf, new_obs_kf)
+    pt_obs_feat = upd(state.pt_obs_feat, new_obs_ft)
+
+    # clear keyframe-side back pointers via the culled slice's own obs
+    # pairs (R*O scatter, not a (K, N) gather over the whole bank)
+    kfc = jnp.clip(r_obs_kf, 0)
+    ftc = jnp.clip(r_obs_ft, 0)
+    flat = jnp.where(cull[:, None] & (r_obs_kf >= 0), kfc * N + ftc, K * N)
+    clear = jnp.zeros((K * N,), jnp.int32).at[flat.reshape(-1)].max(
+        1, mode="drop"
+    )
+    kf_point_idx = jnp.where(clear.reshape(K, N) > 0, -1, state.kf_point_idx)
+    return state._replace(
+        pt_valid=pt_valid,
+        kf_point_idx=kf_point_idx,
+        pt_obs_kf=pt_obs_kf,
+        pt_obs_feat=pt_obs_feat,
+    )
 
 
 def cull_map_points(

@@ -36,6 +36,81 @@ def plot_trajectory(
     plt.close(fig)
 
 
+def draw_frame(path: str, system, image: np.ndarray, frame_no: int | None = None):
+    """FrameDrawer parity (FrameDrawer.cc:38-120): keypoint overlay on the
+    current frame plus the status text line.
+
+    Tracked map points (landmarks with >= 1 keyframe observation) are drawn
+    as green squares, "visual odometry" points (matched landmarks with no
+    keyframe observation yet) as blue squares, unmatched keypoints as faint
+    dots; the footer reproduces the reference's DrawTextInfo fields (mode,
+    keyframe / landmark / match counts, or the LOST / INITIALIZING banner).
+
+    ``image`` is the grayscale frame that was passed to track_* (raw pixel
+    coordinates; keypoints are drawn at their raw positions like the
+    reference's cv::rectangle on mvCurrentKeys).  In pipelined mode the
+    overlay reflects the most recently *resolved* frame, which may lag the
+    submitted one by the pipeline depth.
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from ..system import TrackState
+
+    fig, ax = plt.subplots(figsize=(8, 6.6))
+    ax.imshow(np.asarray(image), cmap="gray", vmin=0, vmax=255)
+
+    state = system.state
+    n_map = n_vo = 0
+    if system.last_frame is not None and state == TrackState.OK:
+        fr = system.last_frame
+        xy = np.asarray(fr.xy_raw)
+        valid = np.asarray(fr.valid)
+        pt = (
+            np.asarray(system.last_pt_idx)
+            if system.last_pt_idx is not None
+            else np.full(len(xy), -1, np.int32)
+        )
+        matched = (pt >= 0) & valid
+        obs = np.asarray(system.map.pt_obs_kf[np.clip(pt, 0, None)])
+        n_obs = (obs >= 0).sum(axis=1)
+        is_map = matched & (n_obs >= 1)
+        is_vo = matched & (n_obs < 1)
+        n_map, n_vo = int(is_map.sum()), int(is_vo.sum())
+        loose = valid & ~matched
+        ax.scatter(xy[loose, 0], xy[loose, 1], s=4, c="0.6", alpha=0.5,
+                   linewidths=0)
+        ax.scatter(xy[is_map, 0], xy[is_map, 1], s=36, marker="s",
+                   facecolors="none", edgecolors="lime", linewidths=1.0)
+        ax.scatter(xy[is_vo, 0], xy[is_vo, 1], s=36, marker="s",
+                   facecolors="none", edgecolors="deepskyblue", linewidths=1.0)
+
+    if state == TrackState.OK:
+        mode = "LOCALIZATION" if system.localization_only else "SLAM"
+        txt = (f"{mode} MODE | KFs: {system.n_kf}, MPs: {system.n_pt}, "
+               f"Matches: {n_map}")
+        if n_vo:
+            txt += f", + VO matches: {n_vo}"
+    elif state == TrackState.LOST:
+        txt = "TRACK LOST. TRYING TO RELOCALIZE"
+    elif state == TrackState.NOT_INITIALIZED:
+        txt = "TRYING TO INITIALIZE"
+    else:
+        txt = "WAITING FOR IMAGES"
+    if frame_no is not None:
+        txt = f"frame {frame_no} | " + txt
+    ax.text(0.01, -0.04, txt, transform=ax.transAxes, fontsize=9,
+            family="monospace", va="top")
+    ax.set_xlim(0, image.shape[1])
+    ax.set_ylim(image.shape[0], 0)
+    ax.axis("off")
+    fig.savefig(path, dpi=110, bbox_inches="tight")
+    plt.close(fig)
+    return {"matches": n_map, "vo_matches": n_vo, "state": str(state)}
+
+
 def plot_map(path: str, system, max_points: int = 20000):
     """Top-down map: landmarks + keyframe positions + covisibility edges."""
     import matplotlib

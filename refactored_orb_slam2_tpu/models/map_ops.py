@@ -224,6 +224,7 @@ def gather_ba_window(
     *,
     max_kfs: int,
     max_points: int,
+    max_obs: int | None = None,
 ):
     """Compact the local-BA window into a small static-shape BAProblem.
 
@@ -237,10 +238,18 @@ def gather_ba_window(
     contribute, so when the boundary overflows ``max_kfs`` the most
     constraining ones are kept.
 
-    Returns (problem, kf_sel, pt_sel, n_pt_in) where kf_sel/pt_sel map
-    compact rows back to map slots (pad rows point one past the end) and
-    n_pt_in counts window points before the ``max_points`` clamp (host-side
-    overflow signal).
+    ``max_obs`` (static, optional) compacts the observation dimension as
+    well: each gathered point keeps its max_obs highest-priority
+    observation slots (window-KF obs first, then fixed-boundary obs) — LM
+    cost is linear in P*O edge slots, and window points rarely carry
+    anywhere near ``max_obs_per_point`` live observations inside the
+    subgraph.
+
+    Returns (problem, kf_sel, pt_sel, obs_sel, n_pt_in): kf_sel/pt_sel map
+    compact rows back to map slots (pad rows point one past the end),
+    obs_sel (Pw, O') maps compact obs columns back to original obs slots
+    (for scatter_ba_window), and n_pt_in counts window points before the
+    ``max_points`` clamp (host-side overflow signal).
     """
     K, N, P, O = state.capacity
     max_kfs = min(max_kfs, K)
@@ -284,6 +293,28 @@ def gather_ba_window(
     compact_kf = kf_map[jnp.clip(sel_obs_kf, 0, K)]          # (Pw, O)
     obs_ok = sel_obs_ok & (compact_kf >= 0)
     sel_obs_feat = jnp.clip(state.pt_obs_feat[psafe], 0)
+
+    if max_obs is not None and max_obs < O:
+        # Compact the obs dimension too: LM cost is linear in P*O edge
+        # slots (profile_lm.py: the (4096, 32) edge evaluation is the
+        # local-BA bottleneck at 4.3 ms/eval on v5e), while window points
+        # rarely carry anywhere near O live observations.  Keep the
+        # highest-priority max_obs slots per point: window-KF observations
+        # first (their cameras move), then fixed-boundary ones; overflow
+        # drops the least-constraining edges only.
+        in_window = jnp.take(window, jnp.clip(sel_obs_kf, 0)) & obs_ok
+        prio = jnp.where(in_window, 0, jnp.where(obs_ok, 1, 2))
+        obs_sel = jnp.argsort(prio, axis=1, stable=True)[:, :max_obs]
+        take = lambda x: jnp.take_along_axis(x, obs_sel, axis=1)
+        sel_obs_kf = take(sel_obs_kf)
+        sel_obs_feat = take(sel_obs_feat)
+        compact_kf = take(compact_kf)
+        obs_ok = take(obs_ok)
+    else:
+        obs_sel = jnp.broadcast_to(
+            jnp.arange(O, dtype=jnp.int32)[None, :], obs_ok.shape
+        )
+
     uvr = state.kf_uvr[jnp.clip(sel_obs_kf, 0), sel_obs_feat]
     octv = state.kf_octave[jnp.clip(sel_obs_kf, 0), sel_obs_feat]
     inv_s2 = jnp.take(
@@ -302,7 +333,7 @@ def gather_ba_window(
         obs_is_stereo=uvr[..., 2] >= 0,
         obs_valid=obs_ok,
     )
-    return prob, kf_sel, pt_sel, n_pt_in
+    return prob, kf_sel, pt_sel, obs_sel, n_pt_in
 
 
 def scatter_ba_window(
@@ -310,12 +341,15 @@ def scatter_ba_window(
     prob: BAProblem,
     kf_sel: jax.Array,
     pt_sel: jax.Array,
+    obs_sel: jax.Array,
     ba_poses: jax.Array,
     ba_points: jax.Array,
     ba_obs_valid: jax.Array,
 ) -> MapState:
     """Write compact-window BA results back into the full map
-    (Optimizer.cc:696-744 semantics, windowed)."""
+    (Optimizer.cc:696-744 semantics, windowed).  ``obs_sel`` maps the
+    problem's (possibly obs-compacted) columns back to original obs
+    slots."""
     K, N, P, O = state.capacity
     opt_kf = prob.kf_valid & ~prob.kf_fixed
     kf_tgt = jnp.where(opt_kf, kf_sel, K)
@@ -323,8 +357,13 @@ def scatter_ba_window(
     pt_tgt = jnp.where(prob.point_valid, pt_sel, P)
     pt_pos = state.pt_pos.at[pt_tgt].set(ba_points, mode="drop")
 
-    # outlier observations: erase on both sides of the incidence
-    dropped = prob.obs_valid & ~ba_obs_valid                 # (Pw, O)
+    # outlier observations: erase on both sides of the incidence.  Expand
+    # the compact (Pw, O') dropped mask back to original (Pw, O) slots.
+    dropped_c = prob.obs_valid & ~ba_obs_valid               # (Pw, O')
+    Pw = dropped_c.shape[0]
+    dropped = jnp.zeros((Pw, O), bool).at[
+        jnp.arange(Pw)[:, None], obs_sel
+    ].max(dropped_c)
     psafe = jnp.clip(pt_sel, 0, P - 1)
     row_kf = jnp.where(dropped, -1, state.pt_obs_kf[psafe])
     row_ft = jnp.where(dropped, -1, state.pt_obs_feat[psafe])

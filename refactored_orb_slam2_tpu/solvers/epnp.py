@@ -7,11 +7,16 @@ function, and the adaptive sequential RANSAC (``iterate``) becomes
 "solve ALL minimal sets at once, score all hypotheses against all
 correspondences, take the best" — the TPU-native RANSAC shape.
 
-Simplification with identical behavior envelope: we use the N=1 beta case
-(the dominant case for well-conditioned sets) plus a projective refinement
-on inliers via the pose optimizer; the reference tries N=1..3 beta
-approximations then polishes with Gauss-Newton.  Accuracy is recovered in
-``refine`` (the reference also refines on inliers, PnPsolver.cc:248-289).
+Like the reference, all three beta approximations (N=1, 2, 3 null-space
+dimensions; find_betas_approx_1/2/3, PnPsolver.cc:451-520) are solved,
+each polished with the betas Gauss-Newton (PnPsolver.cc:800), and the
+candidate with the lowest reprojection error wins
+(PnPsolver.cc:317-353 rep_errors comparison).  The higher beta cases
+matter on near-planar sample sets, where the M-matrix null space is
+genuinely multi-dimensional and the 1-beta solve seeds a planar-ambiguity
+local minimum.  A short pose Gauss-Newton then gives each hypothesis full
+minimal-set accuracy before scoring (the reference also refines on
+inliers, PnPsolver.cc:248-289).
 """
 
 from __future__ import annotations
@@ -77,22 +82,110 @@ def _epnp_single(pw: jax.Array, xn: jax.Array):
     )
     M = jnp.concatenate([rows_u, rows_v], axis=0)              # (2M, 12)
     _, _, vt = jnp.linalg.svd(M, full_matrices=False)
-    x = vt[-1]                                                 # (12,)
-    cc = jnp.stack([x[0:4], x[4:8], x[8:12]], axis=1)          # (4, 3) camera ctrl pts (up to scale/sign)
+    # the 4 smallest right-singular vectors span the (near-)null space;
+    # vt rows are ordered by decreasing singular value, so vt[-1] is the
+    # true null direction and vt[-2:-5:-1] matter when the set is
+    # (near-)planar (compute_pose, PnPsolver.cc:317-353)
+    Vn = jnp.stack([vt[-1], vt[-2], vt[-3], vt[-4]])           # (4, 12)
+    # fill_M packs the unknowns [c1x..c4x, c1y..c4y, c1z..c4z]:
+    # null vector k -> (4 ctrl points, 3 coords)
+    Vc = jnp.stack([Vn[:, 0:4], Vn[:, 4:8], Vn[:, 8:12]], axis=-1)
 
-    # beta (N=1): scale so camera-frame distances match world distances
-    dw = jnp.linalg.norm(C[:, None, :] - C[None, :, :], axis=-1)
-    dc = jnp.linalg.norm(cc[:, None, :] - cc[None, :, :], axis=-1)
-    beta = jnp.sum(dw * dc) / jnp.maximum(jnp.sum(dc * dc), 1e-12)
-    cc = cc * beta
-    # resolve sign: camera points must have positive depth
-    pc = alpha @ cc
-    sign = jnp.where(jnp.sum(pc[:, 2]) < 0, -1.0, 1.0)
-    cc = cc * sign
-    pc = pc * sign
+    # squared world distances between control-point pairs (rho) and the
+    # 6x10 quadratic system L betas10 = rho (compute_L_6x10/compute_rho)
+    ii = jnp.asarray([0, 0, 0, 1, 1, 2])
+    jj = jnp.asarray([1, 2, 3, 2, 3, 3])
+    rho = jnp.sum((C[ii] - C[jj]) ** 2, axis=-1)               # (6,)
+    dv = Vc[:, ii, :] - Vc[:, jj, :]                           # (4, 6, 3)
 
-    R, t = _kabsch(pw, pc)
-    return se3.from_rt(R, t)
+    def dot(a, b):
+        return jnp.sum(dv[a] * dv[b], axis=-1)                 # (6,)
+
+    L = jnp.stack(
+        [dot(0, 0), 2 * dot(0, 1), dot(1, 1), 2 * dot(0, 2),
+         2 * dot(1, 2), dot(2, 2), 2 * dot(0, 3), 2 * dot(1, 3),
+         2 * dot(2, 3), dot(3, 3)], axis=1,
+    )                                                          # (6, 10)
+
+    def lstsq(A, b):
+        AtA = A.T @ A + 1e-10 * jnp.eye(A.shape[1])
+        return jnp.linalg.solve(AtA, A.T @ b)
+
+    # find_betas_approx_1 (PnPsolver.cc:451): [b11 b12 b13 b14]
+    x1 = lstsq(L[:, jnp.asarray([0, 1, 3, 6])], rho)
+    b1_1 = jnp.sqrt(jnp.abs(x1[0]))
+    s1 = jnp.where(x1[0] < 0, -1.0, 1.0)
+    betas_c1 = jnp.stack([
+        b1_1,
+        s1 * x1[1] / jnp.maximum(b1_1, 1e-12),
+        s1 * x1[2] / jnp.maximum(b1_1, 1e-12),
+        s1 * x1[3] / jnp.maximum(b1_1, 1e-12),
+    ])
+
+    # find_betas_approx_2 (PnPsolver.cc:478): [b11 b12 b22]
+    x2 = lstsq(L[:, jnp.asarray([0, 1, 2])], rho)
+    b1_2 = jnp.sqrt(jnp.abs(x2[0]))
+    b2_2 = jnp.where(
+        (x2[2] < 0) == (x2[0] < 0), jnp.sqrt(jnp.abs(x2[2])), 0.0
+    )
+    b1_2 = jnp.where(x2[1] < 0, -b1_2, b1_2)
+    betas_c2 = jnp.stack([b1_2, b2_2, jnp.zeros(()), jnp.zeros(())])
+
+    # find_betas_approx_3 (PnPsolver.cc:503): [b11 b12 b22 b13 b23]
+    x3 = lstsq(L[:, jnp.asarray([0, 1, 2, 3, 4])], rho)
+    b1_3 = jnp.sqrt(jnp.abs(x3[0]))
+    b2_3 = jnp.where(
+        (x3[2] < 0) == (x3[0] < 0), jnp.sqrt(jnp.abs(x3[2])), 0.0
+    )
+    b1_3 = jnp.where(x3[1] < 0, -b1_3, b1_3)
+    b3_3 = x3[3] / jnp.maximum(jnp.abs(b1_3), 1e-12) * jnp.where(
+        b1_3 < 0, -1.0, 1.0
+    )
+    betas_c3 = jnp.stack([b1_3, b2_3, b3_3, jnp.zeros(())])
+
+    def betas10(b):
+        return jnp.stack([
+            b[0] * b[0], b[0] * b[1], b[1] * b[1], b[0] * b[2],
+            b[1] * b[2], b[2] * b[2], b[0] * b[3], b[1] * b[3],
+            b[2] * b[3], b[3] * b[3],
+        ])
+
+    def gn_betas(b):
+        # gauss_newton on ||L betas10(b) - rho||  (PnPsolver.cc:800-820)
+        def body(_, b):
+            r = L @ betas10(b) - rho
+            J = jnp.stack([
+                2 * b[0] * L[:, 0] + b[1] * L[:, 1] + b[2] * L[:, 3]
+                + b[3] * L[:, 6],
+                b[0] * L[:, 1] + 2 * b[1] * L[:, 2] + b[2] * L[:, 4]
+                + b[3] * L[:, 7],
+                b[0] * L[:, 3] + b[1] * L[:, 4] + 2 * b[2] * L[:, 5]
+                + b[3] * L[:, 8],
+                b[0] * L[:, 6] + b[1] * L[:, 7] + b[2] * L[:, 8]
+                + 2 * b[3] * L[:, 9],
+            ], axis=1)                                          # (6, 4)
+            H = J.T @ J + 1e-10 * jnp.eye(4)
+            return b - jnp.linalg.solve(H, J.T @ r)
+
+        return jax.lax.fori_loop(0, 5, body, b)
+
+    def pose_from_betas(b):
+        cc = jnp.einsum("k,kij->ij", b, Vc)                    # (4, 3)
+        pc = alpha @ cc
+        sign = jnp.where(jnp.sum(pc[:, 2]) < 0, -1.0, 1.0)
+        pc = pc * sign
+        R, t = _kabsch(pw, pc)
+        T = se3.from_rt(R, t)
+        # reprojection error selects among the three beta cases
+        pcx = se3.transform(T, pw)
+        z = jnp.where(jnp.abs(pcx[:, 2]) < 1e-6, 1e-6, pcx[:, 2])
+        err = jnp.sum((pcx[:, :2] / z[:, None] - xn) ** 2)
+        return T, err
+
+    cands = jnp.stack([gn_betas(betas_c1), gn_betas(betas_c2),
+                       gn_betas(betas_c3)])
+    Ts, errs = jax.vmap(pose_from_betas)(cands)
+    return Ts[jnp.argmin(errs)]
 
 
 def _gn_polish(T: jax.Array, pw: jax.Array, xn: jax.Array, iters: int = 4) -> jax.Array:

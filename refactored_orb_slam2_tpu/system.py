@@ -269,6 +269,10 @@ class SlamSystem:
         self._jit_cull = jax.jit(
             LM.cull_map_points, static_argnames=("recent_window",)
         )
+        self._jit_cull_recent = jax.jit(
+            LM.cull_recent_map_points,
+            static_argnames=("recent_cap", "recent_window"),
+        )
         self._jit_kf_redundancy = jax.jit(
             LM.keyframe_redundancy, static_argnames=("min_obs",)
         )
@@ -299,7 +303,8 @@ class SlamSystem:
         self._jit_classify_outliers = jax.jit(BA.classify_outliers)
         self._jit_writeback = jax.jit(map_ops.writeback_ba)
         self._jit_gather_ba = jax.jit(
-            map_ops.gather_ba_window, static_argnames=("max_kfs", "max_points")
+            map_ops.gather_ba_window,
+            static_argnames=("max_kfs", "max_points", "max_obs"),
         )
         self._jit_scatter_ba = jax.jit(map_ops.scatter_ba_window)
         self._build_fused_track()
@@ -1264,8 +1269,8 @@ class SlamSystem:
         1. an explicit ``cfg.vocab_path``;
         2. the packaged corpus-trained asset (assets/vocab.npz, produced by
            scripts/train_vocab.py on rendered multi-scene corpora);
-        3. lazy fallback: train a small vocabulary on the first keyframe
-           (degraded recall — only hit when the asset is missing).
+        3. a missing asset raises, unless cfg.allow_vocab_fallback opts in
+           to training a small one-frame vocabulary (degraded recall).
         """
         from .place.vocab import load_vocabulary, train_vocabulary
         from .place.keyframe_db import KeyFrameDB
@@ -1279,7 +1284,7 @@ class SlamSystem:
             )
             if os.path.exists(path):
                 self.vocab = load_vocabulary(path)
-            else:
+            elif self.cfg.allow_vocab_fallback:
                 telemetry.warn(
                     "vocab_fallback",
                     f"vocabulary asset not found at {path} — training a "
@@ -1288,6 +1293,14 @@ class SlamSystem:
                 descs = np.asarray(frame.desc)[np.asarray(frame.valid)]
                 n_words = min(256, max(32, len(descs) // 4))
                 self.vocab = train_vocabulary(descs, n_words=n_words, iters=4)
+            else:
+                raise FileNotFoundError(
+                    f"vocabulary asset not found at {path}; train one with "
+                    "scripts/train_vocab.py, point cfg.vocab_path at it, or "
+                    "opt in to the degraded one-frame fallback with "
+                    "SystemConfig(allow_vocab_fallback=True) "
+                    "(the reference likewise requires ORBvoc, System.cc:74-83)"
+                )
             self.db = KeyFrameDB(self.vocab, self.cfg.map.max_keyframes)
         self.db.add(kf_slot, frame.desc, frame.valid)
 
@@ -1365,9 +1378,13 @@ class SlamSystem:
         # triangulate new landmarks with covisible neighbours
         # (CreateNewMapPoints; mono's only source of new points)
         self._triangulate_new_points(kf_slot, covis=covis)
-        # fuse duplicates (SearchInNeighbors) and cull weak points
+        # fuse duplicates (SearchInNeighbors) and cull weak recent points
+        # (MapPointCulling iterates mlpRecentAddedMapPoints only,
+        # LocalMapping.cc:155-183 — the recent slice IS the reference set)
         self._fuse_neighbors(kf_slot, covis=covis)
-        self.map = self._jit_cull(self.map, jnp.int32(kf_slot))
+        self.map = self._jit_cull_recent(
+            self.map, jnp.int32(kf_slot), jnp.int32(self.n_pt)
+        )
         # refresh stats for exactly the points whose observation sets this
         # keyframe touched (triangulated/fused points are all observed by
         # kf_slot after fusion) — 64x cheaper than the full-bank refresh
@@ -1417,6 +1434,13 @@ class SlamSystem:
         # v5e — the theoretical 6*nn worst case would double mapping's
         # fuse cost for slots that are almost always masked out)
         t_cap = 3 * nn + 2
+        if len(targets) > t_cap:
+            telemetry.warn(
+                "fuse_target_overflow",
+                f"SearchInNeighbors has {len(targets)} fuse targets; only "
+                f"{t_cap} scanned (densely covisible graph — raise "
+                "MapConfig.fuse_neighbors ring budget)",
+            )
         slots = np.full(t_cap, -1, np.int32)
         slots[:min(len(targets), t_cap)] = targets[:t_cap]
         self.map = self._jit_fuse_multi(
@@ -1531,9 +1555,10 @@ class SlamSystem:
         tracker's ``abort_ba`` flag between LM chunks (mbAbortBA) — partial
         progress is still written back, as in the reference."""
         mcfg = self.cfg.map
-        prob, kf_sel, pt_sel, n_pt_in = self._jit_gather_ba(
+        prob, kf_sel, pt_sel, obs_sel, n_pt_in = self._jit_gather_ba(
             self.map, window_mask, fixed_mask, self.inv_sigma2_table,
             max_kfs=mcfg.local_ba_max_kfs, max_points=mcfg.local_ba_max_points,
+            max_obs=mcfg.local_ba_max_obs,
         )
         if int(n_pt_in) > mcfg.local_ba_max_points:
             telemetry.warn(
@@ -1548,7 +1573,7 @@ class SlamSystem:
             should_stop=should_stop,
         )
         self.map = self._jit_scatter_ba(
-            self.map, prob, kf_sel, pt_sel,
+            self.map, prob, kf_sel, pt_sel, obs_sel,
             result.kf_poses, result.points, result.obs_valid,
         )
 

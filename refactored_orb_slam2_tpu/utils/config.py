@@ -108,6 +108,10 @@ class MapConfig:
     # local_ba_point_overflow warning fires if a window exceeds it) and
     # halves the LM assembly cost, which is linear in the point budget
     local_ba_max_points: int = 4096
+    # obs slots per gathered point inside the local-BA window: LM cost is
+    # linear in P*O edge slots (profile_lm.py); window-KF observations are
+    # kept preferentially when a point's subgraph obs exceed this
+    local_ba_max_obs: int = 16
     # CG iterations per LM step for the matrix-free global-BA solver
     gba_cg_iters: int = 80
     # essential-graph solver: "auto" picks dense for small banks and the
@@ -134,9 +138,12 @@ class LoopConfig:
 @dataclass(frozen=True)
 class SystemConfig:
     sensor: str = "monocular"   # "monocular" | "stereo" | "rgbd"
-    # visual-vocabulary asset path; empty -> packaged assets/vocab.npz,
-    # missing file -> lazy one-frame training fallback
+    # visual-vocabulary asset path; empty -> packaged assets/vocab.npz.
+    # A missing asset is a hard error (the reference cannot run without
+    # ORBvoc either, System.cc:74-83) unless allow_vocab_fallback opts in
+    # to lazy one-frame training (degraded loop/reloc recall).
     vocab_path: str = ""
+    allow_vocab_fallback: bool = False
     camera: CameraConfig = field(default_factory=CameraConfig)
     orb: ORBConfig = field(default_factory=ORBConfig)
     matcher: MatcherConfig = field(default_factory=MatcherConfig)

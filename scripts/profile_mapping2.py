@@ -114,12 +114,14 @@ def main():
     wm = jnp.asarray(window)
     fm = jnp.asarray(~window) & m.kf_valid
     mcfg = cfg.map
-    tput("gather_ba (64kf/8192pt)", lambda: sys_._jit_gather_ba(
+    tput("gather_ba", lambda: sys_._jit_gather_ba(
         m, wm, fm, sys_.inv_sigma2_table,
-        max_kfs=mcfg.local_ba_max_kfs, max_points=mcfg.local_ba_max_points))
-    prob, kf_sel, pt_sel, n_pt_in = sys_._jit_gather_ba(
+        max_kfs=mcfg.local_ba_max_kfs, max_points=mcfg.local_ba_max_points,
+        max_obs=mcfg.local_ba_max_obs))
+    prob, kf_sel, pt_sel, obs_sel, n_pt_in = sys_._jit_gather_ba(
         m, wm, fm, sys_.inv_sigma2_table,
-        max_kfs=mcfg.local_ba_max_kfs, max_points=mcfg.local_ba_max_points)
+        max_kfs=mcfg.local_ba_max_kfs, max_points=mcfg.local_ba_max_points,
+        max_obs=mcfg.local_ba_max_obs)
     lam = jnp.float32(1e-4)
     tput("lm_chunk dense x5", lambda: sys_._jit_lm_chunk(
         sys_.cam, prob, prob.kf_poses, prob.points, lam,
@@ -131,7 +133,7 @@ def main():
         n_iters=1, use_huber=True, solver="dense", n_cg=0)
     ov = sys_._jit_classify_outliers(sys_.cam, prob, prob.kf_poses, prob.points)
     tput("scatter_ba", lambda: sys_._jit_scatter_ba(
-        m, prob, kf_sel, pt_sel, res_poses, res_points, ov))
+        m, prob, kf_sel, pt_sel, obs_sel, res_poses, res_points, ov))
 
     cur_pt = m.kf_point_idx[kf_slot]
     P = m.pt_pos.shape[0]
@@ -163,11 +165,25 @@ def main():
         scale_factor=cfg.orb.scale_factor, n_levels=cfg.orb.n_levels,
         min_baseline_ratio=0.005)[0])
     tput("cull_points", lambda: sys_._jit_cull(m, jnp.int32(kf_slot)))
+    tput("cull_recent", lambda: sys_._jit_cull_recent(
+        m, jnp.int32(kf_slot), jnp.int32(sys_.n_pt)))
     tput("update_stats", lambda: sys_._jit_update_stats(
         m, scale_factor=cfg.orb.scale_factor, n_levels=cfg.orb.n_levels))
     tput("kf_redundancy_batch", lambda: sys_._jit_kf_redundancy_batch(
-        m, jnp.asarray(np.arange(8, dtype=np.int32)),
+        m, jnp.asarray(np.arange(8, dtype=np.int32))))
+    tput("update_stats_subset", lambda: sys_._jit_update_stats_subset(
+        m, m.kf_point_idx[kf_slot],
         scale_factor=cfg.orb.scale_factor, n_levels=cfg.orb.n_levels))
+    # production direction-1 fuse: compact cand_idx path at t_cap slots
+    nn = 10
+    t_cap = 3 * nn + 2
+    slots_prod = np.full(t_cap, -1, np.int32)
+    slots_prod[:len(tgt)] = tgt
+    cur_pt = m.kf_point_idx[kf_slot]
+    tput("fuse_multi prod (cand_idx)", lambda: sys_._jit_fuse_multi(
+        m, jnp.asarray(slots_prod), sys_.cam, None,
+        budget=1024, scale_factor=cfg.orb.scale_factor,
+        n_levels=cfg.orb.n_levels, cand_idx=cur_pt))
 
 
 if __name__ == "__main__":

@@ -107,6 +107,11 @@ def main(argv=None):
                          "N frames (0 = never; viewer menu toggle in the "
                          "reference, System.cc:311-319)")
     ap.add_argument("--cpu", action="store_true", help="force CPU platform")
+    ap.add_argument("--overlay-every", type=int, default=0,
+                    help="save a FrameDrawer-style keypoint/status overlay "
+                         "every N frames (FrameDrawer.cc:38-120)")
+    ap.add_argument("--overlay-dir", default="overlays",
+                    help="directory for --overlay-every artifacts")
     args = ap.parse_args(argv)
 
     if args.cpu:
@@ -137,6 +142,17 @@ def main(argv=None):
             slam.track_monocular(img, ts)
         times.append(time.perf_counter() - t0)
         n += 1
+        if args.overlay_every and n % args.overlay_every == 0:
+            from refactored_orb_slam2_tpu.io import viz
+
+            os.makedirs(args.overlay_dir, exist_ok=True)
+            gray = img if sensor != "stereo" else left
+            if gray.ndim == 3:
+                gray = gray.mean(axis=-1)
+            viz.draw_frame(
+                os.path.join(args.overlay_dir, f"frame_{n:06d}.png"),
+                slam, gray, frame_no=n,
+            )
         if args.localization_after and n == args.localization_after:
             slam.activate_localization_mode()
         if args.max_frames and n >= args.max_frames:

@@ -89,13 +89,13 @@ class TestWindowedBA:
         )
 
         # windowed path (window fits entirely)
-        wprob, kf_sel, pt_sel, n_pt_in = map_ops.gather_ba_window(
+        wprob, kf_sel, pt_sel, obs_sel, n_pt_in = map_ops.gather_ba_window(
             state, window, fixed, table, max_kfs=8, max_points=256,
         )
         assert int(n_pt_in) == 120
         wres = run(cam, wprob, iters_phase1=5, iters_phase2=10)
         state_win = map_ops.scatter_ba_window(
-            state, wprob, kf_sel, pt_sel,
+            state, wprob, kf_sel, pt_sel, obs_sel,
             wres.kf_poses, wres.points, wres.obs_valid,
         )
 
@@ -120,7 +120,7 @@ class TestWindowedBA:
         window = jnp.zeros(K, bool).at[2].set(True).at[3].set(True)
         fixed = state.kf_valid & ~window
 
-        wprob, kf_sel, pt_sel, n_pt_in = map_ops.gather_ba_window(
+        wprob, kf_sel, pt_sel, obs_sel, n_pt_in = map_ops.gather_ba_window(
             state, window, fixed, table, max_kfs=8, max_points=128,
         )
         # window KFs occupy the first compact rows and are free
@@ -145,7 +145,7 @@ class TestWindowedBA:
         table = jnp.ones(1, jnp.float32)
         window = jnp.zeros(K, bool).at[1].set(True).at[2].set(True)
         fixed = state.kf_valid & ~window
-        wprob, kf_sel, pt_sel, _ = map_ops.gather_ba_window(
+        wprob, kf_sel, pt_sel, obs_sel, _ = map_ops.gather_ba_window(
             state, window, fixed, table, max_kfs=4, max_points=128,
         )
         sel = np.asarray(kf_sel)
@@ -162,7 +162,7 @@ class TestWindowedBA:
         table = jnp.ones(1, jnp.float32)
         window = state.kf_valid
         fixed = jnp.zeros(K, bool)
-        wprob, kf_sel, pt_sel, n_pt_in = map_ops.gather_ba_window(
+        wprob, kf_sel, pt_sel, obs_sel, n_pt_in = map_ops.gather_ba_window(
             state, window, fixed, table, max_kfs=8, max_points=64,
         )
         assert int(n_pt_in) == 120          # true demand reported to host

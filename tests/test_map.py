@@ -134,6 +134,53 @@ class TestLocalMapping:
         v = np.asarray(s2.pt_valid[:4])
         assert not v[0] and v[1] and v[2] and not v[3]
 
+    def test_cull_recent_matches_full_on_recent_points(self):
+        """The production recent-slice cull must agree with the full-bank
+        cull whenever all live points fit inside the recent window."""
+        s = small_map()
+        s = s._replace(
+            pt_valid=s.pt_valid.at[:6].set(True),
+            pt_visible=s.pt_visible.at[:6].set(10),
+            pt_found=(
+                s.pt_found.at[0].set(1).at[1].set(9).at[2].set(9)
+                .at[3].set(0).at[4].set(5).at[5].set(1)
+            ),
+            pt_first_kf=s.pt_first_kf.at[:6].set(0),
+            # give point 1 observations so the too-few gate has data
+            pt_obs_kf=s.pt_obs_kf.at[1, :3].set(0),
+            pt_obs_feat=s.pt_obs_feat.at[1, :3].set(jnp.arange(3)),
+        )
+        full = LM.cull_map_points(s, jnp.int32(10))
+        recent = LM.cull_recent_map_points(
+            s, jnp.int32(10), jnp.int32(6), recent_cap=16
+        )
+        np.testing.assert_array_equal(
+            np.asarray(full.pt_valid), np.asarray(recent.pt_valid)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(full.pt_obs_kf), np.asarray(recent.pt_obs_kf)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(full.kf_point_idx), np.asarray(recent.kf_point_idx)
+        )
+
+    def test_cull_recent_leaves_old_slots_alone(self):
+        """Points below the recent slice must never be culled (the
+        reference's MapPointCulling only judges recent additions)."""
+        s = small_map()
+        s = s._replace(
+            pt_valid=s.pt_valid.at[:8].set(True),
+            pt_visible=s.pt_visible.at[:8].set(10),
+            pt_found=s.pt_found.at[:8].set(0),   # all would fail the ratio
+            pt_first_kf=s.pt_first_kf.at[:8].set(0),
+        )
+        out = LM.cull_recent_map_points(
+            s, jnp.int32(10), jnp.int32(8), recent_cap=4
+        )
+        v = np.asarray(out.pt_valid[:8])
+        assert v[:4].all()          # old slots untouched
+        assert not v[4:8].any()     # recent slice culled
+
     def test_visibility_counters(self):
         s = small_map()
         s = s._replace(pt_valid=s.pt_valid.at[:3].set(True))

@@ -117,6 +117,77 @@ class TestEPnP:
         # planted outliers excluded
         assert np.asarray(res.inliers)[out].mean() < 0.2
 
+    def test_single_near_planar(self):
+        """Near-planar world points: the M-matrix null space is genuinely
+        multi-dimensional, so the N=1 beta case alone seeds a planar-
+        ambiguity minimum — the beta-2/3 approximations must recover the
+        true pose (find_betas_approx_2/3, PnPsolver.cc:478-520)."""
+        rng = np.random.default_rng(7)
+        for trial in range(6):
+            n = 32
+            pw = np.stack([
+                rng.uniform(-3, 3, n), rng.uniform(-2, 2, n),
+                8.0 + rng.normal(0, 0.01, n),      # depth spread ~1 cm
+            ], axis=1).astype(np.float32)
+            tw = rng.normal(0, 0.3, 6).astype(np.float32)
+            T = np.asarray(se3.exp(jnp.asarray(tw)))
+            pc = pw @ T[:3, :3].T + T[:3, 3]
+            assert (pc[:, 2] > 0.5).all()
+            xn = (pc[:, :2] / pc[:, 2:3]).astype(np.float32)
+            T_est = np.asarray(_epnp_single(jnp.asarray(pw), jnp.asarray(xn)))
+            err = np.asarray(se3.log(jnp.asarray(
+                np.linalg.inv(T) @ T_est, dtype=jnp.float32)))
+            assert np.abs(err).max() < 2e-2, (trial, err)
+
+    def test_ransac_planar_scene(self):
+        """Relocalization against a wall/floor-dominated candidate set —
+        the reloc envelope the N=1-only solver could not certify."""
+        rng = np.random.default_rng(11)
+        n = 120
+        pw = np.stack([
+            rng.uniform(-4, 4, n), rng.uniform(-3, 3, n),
+            6.0 + 0.02 * rng.normal(0, 1, n),
+        ], axis=1).astype(np.float32)
+        T = np.asarray(se3.exp(jnp.asarray(
+            [0.2, -0.3, 0.4, 0.15, -0.1, 0.08], jnp.float32)))
+        pc = pw @ T[:3, :3].T + T[:3, 3]
+        xn = (pc[:, :2] / pc[:, 2:3]
+              + rng.normal(0, 0.5 / 500.0, (n, 2))).astype(np.float32)
+        res = epnp_ransac(
+            jnp.asarray(pw), jnp.asarray(xn), jnp.ones(n, bool),
+            jax.random.PRNGKey(5), sigma2=(0.5 / 500.0) ** 2,
+            chi2_th=5.991,
+        )
+        assert bool(res.success)
+        err = np.asarray(se3.log(jnp.asarray(
+            np.linalg.inv(T) @ np.asarray(res.Tcw), dtype=jnp.float32)))
+        assert np.abs(err).max() < 0.05, err
+
+    def test_ransac_deep_perspective(self):
+        """Deep-perspective set (depths 2-60 m, strong foreshortening)."""
+        rng = np.random.default_rng(13)
+        n = 150
+        z = rng.uniform(2.0, 60.0, n)
+        pw = np.stack([
+            rng.uniform(-0.5, 0.5, n) * z, rng.uniform(-0.4, 0.4, n) * z, z,
+        ], axis=1).astype(np.float32)
+        T = np.asarray(se3.exp(jnp.asarray(
+            [0.4, 0.1, -0.3, -0.12, 0.2, 0.05], jnp.float32)))
+        pc = pw @ T[:3, :3].T + T[:3, 3]
+        keep = pc[:, 2] > 0.5
+        pw, pc = pw[keep], pc[keep]
+        rngn = rng.normal(0, 0.5 / 500.0, (len(pw), 2))
+        xn = (pc[:, :2] / pc[:, 2:3] + rngn).astype(np.float32)
+        res = epnp_ransac(
+            jnp.asarray(pw), jnp.asarray(xn), jnp.ones(len(pw), bool),
+            jax.random.PRNGKey(9), sigma2=(0.5 / 500.0) ** 2,
+            chi2_th=5.991,
+        )
+        assert bool(res.success)
+        err = np.asarray(se3.log(jnp.asarray(
+            np.linalg.inv(T) @ np.asarray(res.Tcw), dtype=jnp.float32)))
+        assert np.abs(err).max() < 0.05, err
+
 
 class TestHornSim3:
     def test_closed_form(self):
