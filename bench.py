@@ -21,9 +21,12 @@ after the first readback (measured; scripts/probe_tunnel.py), so routing
 0.9 MB frames through the host would measure the tunnel (~46 ms/frame
 floor), not the tracker.  Tracking runs optimistically pipelined at depth
 3 (ARCHITECTURE.md): results are resolved 3 frames late.  Each timed pass
-asserts lost == 0, a plausible keyframe count, and that the async
-mapping/loop workers are still alive (a dead worker would silently skip
-mapping and inflate FPS).  Three timed passes; the headline is the median
+asserts lost == 0, a plausible keyframe count, and that the mapping
+pipeline drained (skipped mapping would silently inflate FPS).  Mapping
+runs COOPERATIVELY: LocalMapping advances as bounded step generators
+pumped between frame dispatches on the tracking thread — the single-chip
+analog of the reference's second core (no cross-thread GIL/dispatch
+contention; see system._mapping_steps).  Three timed passes; the headline is the median
 of the per-pass medians, with the spread reported alongside.
 
 Prints ONE JSON line.  Baseline: the reference runs real-time at the
@@ -60,7 +63,7 @@ def main():
         orb=ORBConfig(n_features=1000, n_levels=8),
         map=MapConfig(max_keyframes=512, max_points=65536, max_obs_per_point=32),
     )
-    sys_ = SlamSystem(cfg, async_mapping=True, pipelined=True,
+    sys_ = SlamSystem(cfg, cooperative_mapping=True, pipelined=True,
                       pipeline_depth=3)
 
     # Pallas-vs-XLA guard: the CI suite pins CPU, so exercise the TPU kernel
@@ -95,27 +98,24 @@ def main():
     sys_.reset()
     print("pre-roll done; tracking...", file=sys.stderr, flush=True)
 
-    # time the mapping work where it actually runs: the async worker calls
-    # _mapping_core/_try_close_loop per queued keyframe (sync mode calls
-    # _mapping_pipeline inline; wrap all three to cover both).  Two worker
-    # threads update the accumulator concurrently -> guard with a lock
-    # (off the hot path).
+    # time the mapping work where it actually runs: cooperative mode
+    # advances mapping via _pump_mapping between frame dispatches (async
+    # mode would call _mapping_core/_try_close_loop on workers instead)
     import threading
 
     map_acc = {"t": 0.0}
     map_lock = threading.Lock()
-    for name in ("_mapping_core", "_try_close_loop"):
-        orig = getattr(sys_, name)
+    orig_pump = sys_._pump_mapping
 
-        def timed(kf, _orig=orig):
-            t0 = time.perf_counter()
-            r = _orig(kf)
-            dt = time.perf_counter() - t0
-            with map_lock:
-                map_acc["t"] += dt
-            return r
+    def timed_pump(budget=1):
+        t0 = time.perf_counter()
+        r = orig_pump(budget)
+        dt = time.perf_counter() - t0
+        with map_lock:
+            map_acc["t"] += dt
+        return r
 
-        setattr(sys_, name, timed)
+    sys_._pump_mapping = timed_pump
 
     def run_pass(tag):
         """One timed pass over the frame sequence on a fresh map (jit
@@ -144,10 +144,10 @@ def main():
         sys_.flush_pipeline()
         times[-1] += time.perf_counter() - t0
         n_kf_end = sys_.n_kf
-        # bounded drain of the mapping worker (untimed; a loop-spawned GBA
-        # may legitimately still be running — the stats don't depend on it)
-        sys_.mapper.wait_idle(timeout=60)
-        if sys_.mapper._exc is not None:
+        # bounded drain of the mapping pipeline (untimed)
+        assert sys_.wait_mapping_idle(timeout=60), \
+            f"pass {tag}: mapping pipeline failed to drain"
+        if sys_.mapper is not None and sys_.mapper._exc is not None:
             raise RuntimeError(
                 f"mapping/loop worker died during pass {tag}: "
                 f"{sys_.mapper._exc!r}"
@@ -194,7 +194,7 @@ def main():
                 "unit": "frames/s median (median of 3 passes), full "
                         "SlamSystem._track (640x480 RGB-D, 1000 feats, "
                         "64k-point map, device-resident frames, pipeline "
-                        "depth 3, async mapping)",
+                        "depth 3, cooperative mapping)",
                 "vs_baseline": round(fps / 30.0, 3),
                 "median_ms": round(med * 1e3, 2),
                 "mean_ms": round(mean * 1e3, 2),

@@ -17,8 +17,9 @@ This module reproduces that 3-thread split over functional map snapshots:
   (mnFullBAIdx, LoopClosing.cc:618-715).
 
 Writer discipline replaces the reference's mutex hierarchy: every mutation
-of ``system.map`` happens under ``write_lock`` — the mapping worker holds it
-per queue item, the tracker takes it only for the (cheap) keyframe
+of ``system.map`` happens under ``write_lock`` — the mapping worker takes
+it per mutation (dispatch + attribute swap only; device execution and host
+syncs run outside it), the tracker takes it only for the (cheap) keyframe
 insertion, loop correction and GBA merge take it for their writebacks.  The
 tracker's per-frame reads need no lock (MapState arrays are immutable;
 attribute swap is atomic), and its per-frame visibility counters are
@@ -97,13 +98,19 @@ class AsyncMapper:
             raise self._exc
 
     def _run_mapping(self):
+        # NOTE: the worker does NOT hold write_lock across a whole keyframe.
+        # _mapping_core takes it per map mutation (dispatch + attribute swap,
+        # ~ms) and leaves host syncs and device execution outside, so the
+        # tracker's keyframe insertion (mapper.paused()) waits milliseconds,
+        # not the full mapping pipeline — the single-chip analog of the
+        # reference's fine-grained map mutexes (MapPoint.cc/KeyFrame.cc
+        # mutex-per-operation, never one lock across LocalMapping::Run).
         while True:
             kf = self._q.get()
             if kf is None:
                 return
             try:
-                with self.write_lock:
-                    self.system._mapping_core(kf)
+                self.system._mapping_core(kf)
                 if self.system.loop_closing_enabled:
                     self.submit_loop(kf)
             except Exception as e:  # surfaced at shutdown; tracker continues

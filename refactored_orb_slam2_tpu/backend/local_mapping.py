@@ -268,6 +268,88 @@ def update_visibility(
     return state._replace(pt_visible=pt_visible, pt_found=pt_found)
 
 
+def mapping_work_sets(
+    state: MapState,
+    kf_slot: jax.Array,
+    ref_kf: jax.Array,
+    *,
+    nn: int,
+    t_cap: int,
+    n_neighbors: int,
+    window_k: int = 20,
+    cull_cap: int = 32,
+):
+    """All per-keyframe neighbor/window/candidate selections in ONE device
+    program — no covisibility download.
+
+    The mapping worker previously downloaded the full (K, K) covisibility
+    matrix (~1 MB, a ~50 ms tunnel round trip in degraded mode) and did the
+    neighbor ranking on the host; on the single-tunneled-chip deployment
+    those per-keyframe host syncs serialized the worker against the
+    tracker's dispatch stream and mapping could not keep up with an
+    unpaced tracker (measured: the worker got zero work done during a
+    full-speed 160-frame drive).  Everything the reference derives from
+    GetBestCovisibilityKeyFrames (LocalMapping.cc:189/430, KeyFrame.cc:310)
+    is a top-k/threshold over one covisibility row — computed here on
+    device and consumed by the downstream programs without leaving HBM.
+
+    Returns (tri_neighbors, fuse_slots, n_fuse_targets, fuse_tgt_mask,
+    window_mask, fixed_mask, cull_cands):
+    - tri_neighbors (n_neighbors,): top covisible neighbors with weight
+      > 15 for CreateNewMapPoints (-1 padded);
+    - fuse_slots (t_cap,): SearchInNeighbors first ring (top nn, weight
+      > 0) plus each neighbor's 5-neighbor second ring, deduplicated
+      (-1 padded; slot order, not BFS order — fuse is order-insensitive
+      up to merge tie-breaks);
+    - n_fuse_targets: true target count before the t_cap clamp (overflow
+      telemetry);
+    - fuse_tgt_mask (K,): the same set as a mask (direction-2 fuse);
+    - window_mask/fixed_mask (K,): local-BA window = top window_k + self
+      (origin keyframe never moves);
+    - cull_cands (cull_cap,): KeyFrameCulling candidates (weight >= 15,
+      excluding origin/self/ref keyframe; -1 padded).
+    """
+    from ..models.map_state import covisibility_matrix
+
+    K = state.kf_pose.shape[0]
+    covis = covisibility_matrix(state)
+    ids = jnp.arange(K)
+    kf_ok = state.kf_valid
+    row = jnp.where(kf_ok & (ids != kf_slot), covis[kf_slot], 0)
+
+    tri_w, tri_idx = jax.lax.top_k(row, n_neighbors)
+    tri_neighbors = jnp.where(tri_w > 15, tri_idx, -1).astype(jnp.int32)
+
+    f_w, f_idx = jax.lax.top_k(row, nn)
+    first_ok = f_w > 0
+    mask = jnp.zeros(K, bool).at[
+        jnp.where(first_ok, f_idx, K)
+    ].set(True, mode="drop")
+    rows2 = jnp.where(kf_ok[None, :], covis[jnp.clip(f_idx, 0)], 0)
+    s_w, s_idx = jax.lax.top_k(rows2, 5)
+    ok2 = (s_w > 0) & first_ok[:, None]
+    mask = mask.at[jnp.where(ok2, s_idx, K)].set(True, mode="drop")
+    mask = (mask & kf_ok).at[kf_slot].set(False)
+    n_fuse_targets = jnp.sum(mask.astype(jnp.int32))
+    (fuse_slots,) = jnp.nonzero(mask, size=t_cap, fill_value=-1)
+    fuse_slots = fuse_slots.astype(jnp.int32)
+
+    w_w, w_idx = jax.lax.top_k(row, window_k)
+    window = jnp.zeros(K, bool).at[
+        jnp.where(w_w > 0, w_idx, K)
+    ].set(True, mode="drop")
+    window = window.at[kf_slot].set(True).at[0].set(False) & kf_ok
+    fixed = ~window & kf_ok
+
+    cull_ok = (
+        (covis[kf_slot] >= 15) & kf_ok
+        & (ids != 0) & (ids != kf_slot) & (ids != ref_kf)
+    )
+    (cull_cands,) = jnp.nonzero(cull_ok, size=cull_cap, fill_value=-1)
+    return (tri_neighbors, fuse_slots, n_fuse_targets, mask, window, fixed,
+            cull_cands.astype(jnp.int32))
+
+
 def cull_recent_map_points(
     state: MapState,
     current_kf: jax.Array,

@@ -57,11 +57,12 @@ def detect(
     """Loop detection with covisibility-consistency chaining.
 
     ``covis``: full (K, K) covisibility weight matrix (host numpy, used by
-    the consistency-group logic).  ``covis_dev``: the same matrix as a
-    device array, if the caller already has it — re-uploading the (K, K)
-    buffer costs ~50 ms/keyframe on the tunneled link.  Returns keyframe
-    slots that have been consistently detected over ``consistency_th``
-    consecutive keyframes (usually empty).
+    the consistency-group logic) — may be None when ``covis_dev`` is given,
+    in which case only the candidate ROWS are downloaded (2 KB each vs the
+    ~1 MB full matrix; most keyframes produce zero candidates and transfer
+    nothing).  ``covis_dev``: the matrix as a device array.  Returns
+    keyframe slots that have been consistently detected over
+    ``consistency_th`` consecutive keyframes (usually empty).
     """
     from ..place.keyframe_db import detect_loop_candidates
 
@@ -78,11 +79,17 @@ def detect(
         loop_state.consistent_groups = []
         return []
 
+    if covis is None:
+        rows = np.asarray(covis_dev[jnp.asarray(cands)])   # one small fetch
+        row_of = dict(zip(cands, rows))
+    else:
+        row_of = {c: covis[c] for c in cands}
+
     enough: list[int] = []
     new_groups = []
     for c in cands:
         group = {c} | {
-            int(i) for i in np.where(covis[c] >= covis_neighbor_th)[0]
+            int(i) for i in np.where(row_of[c] >= covis_neighbor_th)[0]
         }
         count = 0
         for prev_group, prev_count in loop_state.consistent_groups:

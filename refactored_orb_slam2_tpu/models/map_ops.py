@@ -255,27 +255,38 @@ def gather_ba_window(
     max_kfs = min(max_kfs, K)
     max_points = min(max_points, P)
     window = window_mask_kf & state.kf_valid
-    kfc = jnp.clip(state.pt_obs_kf, 0)
-    obs_exists = (state.pt_obs_kf >= 0) & jnp.take(state.kf_valid, kfc)
+    # obs slots of removed keyframes are cleared by remove_keyframe, so
+    # ``pt_obs_kf >= 0`` alone is the liveness test — a full-bank
+    # ``take(kf_valid, kfc)`` is a 2M-element random gather that XLA
+    # lowers pathologically on TPU (same defect class as the 16.5 ms
+    # fused-step gather fixed in round 4)
+    obs_exists = state.pt_obs_kf >= 0
 
-    # points seen from the window
-    pt_in = state.pt_valid & jnp.any(
-        obs_exists & jnp.take(window, kfc), axis=1
+    # points seen from the window: membership via comparison against the
+    # (small) window slot list instead of a (P, O) gather into the mask
+    (win_slots,) = jnp.nonzero(window, size=max_kfs, fill_value=K)
+    obs_in_window = jnp.any(
+        state.pt_obs_kf[:, :, None] == win_slots[None, None, :], axis=-1
     )
+    pt_in = state.pt_valid & jnp.any(obs_exists & obs_in_window, axis=1)
     n_pt_in = jnp.sum(pt_in.astype(jnp.int32))
     (pt_sel,) = jnp.nonzero(pt_in, size=max_points, fill_value=P)
     pt_ok = pt_sel < P
     psafe = jnp.clip(pt_sel, 0, P - 1)
 
     # keyframes observing selected points -> fixed-boundary candidates,
-    # ranked by observation count (Optimizer.cc:517-532 lFixedCameras)
+    # ranked by observation count (Optimizer.cc:517-532 lFixedCameras);
+    # one-hot matmul segment-sum (serialized TPU scatter avoidance, see
+    # optim.bundle_adjustment._seg_sum_oh)
+    from ..optim.bundle_adjustment import _seg_sum_oh
+
     sel_obs_kf = state.pt_obs_kf[psafe]                      # (Pw, O)
     sel_obs_ok = obs_exists[psafe] & pt_ok[:, None]
-    obs_ct = jax.ops.segment_sum(
-        sel_obs_ok.astype(jnp.int32).reshape(-1),
+    obs_ct = _seg_sum_oh(
+        sel_obs_ok.astype(jnp.float32).reshape(-1, 1),
         jnp.clip(sel_obs_kf, 0).reshape(-1),
-        num_segments=K,
-    )
+        K,
+    )[:, 0].astype(jnp.int32)
     fixed_eff = fixed_mask_kf & state.kf_valid & ~window & (obs_ct > 0)
     rank = jnp.where(window, 0, jnp.where(fixed_eff, 1, 2)).astype(jnp.int32)
     # ascending sort: window first, then fixed by -obs_ct, slot as tiebreak

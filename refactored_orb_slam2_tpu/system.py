@@ -16,6 +16,7 @@ insertion (correctness-first; the async pipelined dispatch is layered on in
 from __future__ import annotations
 
 import dataclasses
+import time
 from typing import Optional
 
 import jax
@@ -87,7 +88,8 @@ class SlamSystem:
     trajectory with export_trajectory_tum/kitti."""
 
     def __init__(self, config: SystemConfig, async_mapping: bool = False,
-                 pipelined: bool = False, pipeline_depth: int = 1):
+                 pipelined: bool = False, pipeline_depth: int = 1,
+                 cooperative_mapping: bool = False):
         # SLAM geometry needs full f32 matmuls: with the TPU default
         # (bf16 inputs), pose-optimization normal equations and descriptor
         # intensity differences lose enough precision that tracking margins
@@ -179,6 +181,20 @@ class SlamSystem:
         self._gba_thread = None
         # visibility counters buffered tracker-side in async mode
         self._pending_vis: list = []
+
+        # cooperative mapping: LocalMapping advances as bounded step
+        # generators pumped between frame dispatches on the TRACKING thread
+        # — the single-chip deployment mode (no worker threads, no locks,
+        # no GIL contention with the dispatch stream; device programs from
+        # tracking and mapping interleave at chunk granularity).  The
+        # 3-thread async mode remains for multi-core hosts.
+        if cooperative_mapping and async_mapping:
+            raise ValueError(
+                "cooperative_mapping and async_mapping are exclusive"
+            )
+        self.cooperative = cooperative_mapping
+        self._coop_pending: list[int] = []
+        self._coop_gen = None
 
         self._build_jits()
         self.mapper = None
@@ -272,6 +288,11 @@ class SlamSystem:
         self._jit_cull_recent = jax.jit(
             LM.cull_recent_map_points,
             static_argnames=("recent_cap", "recent_window"),
+        )
+        self._jit_work_sets = jax.jit(
+            LM.mapping_work_sets,
+            static_argnames=("nn", "t_cap", "n_neighbors", "window_k",
+                             "cull_cap"),
         )
         self._jit_kf_redundancy = jax.jit(
             LM.keyframe_redundancy, static_argnames=("min_obs",)
@@ -453,6 +474,7 @@ class SlamSystem:
         """Track against the frozen map without inserting keyframes
         (System::ActivateLocalizationMode, System.cc:311-319)."""
         self.flush_pipeline()
+        self._drain_mapping()
         self.localization_only = True
 
     def deactivate_localization_mode(self):
@@ -481,6 +503,8 @@ class SlamSystem:
         self._init_ref = None
         self._pending_vis = []
         self._inflight = []
+        self._coop_pending = []
+        self._coop_gen = None
         self.abort_ba = False
         self.mb_vo = False
         self._stop_gba = True
@@ -617,7 +641,7 @@ class SlamSystem:
                     )
             else:
                 self._pending_vis.append((rec["local_idx"], pt_idx))
-                if len(self._pending_vis) > 64:
+                if len(self._pending_vis) > 256:
                     self._pending_vis.pop(0)
             close_counts = (t_close, u_close)
             self._ref_matches = ref_tracked
@@ -672,7 +696,10 @@ class SlamSystem:
     def _track_fused(self, raw_a, raw_b, timestamp: float):
         """Steady-state tracked frame: one dispatch, one device_get."""
         rec = self._dispatch_fused(raw_a, raw_b, timestamp)
-        return self._commit_fused(rec, optimistic=False)
+        pose = self._commit_fused(rec, optimistic=False)
+        if self.cooperative:
+            self._pump_mapping()
+        return pose
 
     def flush_pipeline(self):
         """Resolve all in-flight pipelined frames (no-op in sync mode).
@@ -731,6 +758,12 @@ class SlamSystem:
         self.last_frame = rec["frame"]
         self.last_pt_idx = rec["pt2"]
         self._inflight.append(rec)
+        # advance the cooperative mapping pipeline in the shadow of this
+        # frame's in-flight device work: one bounded step in steady state,
+        # proportionally more when keyframes are queuing up
+        if self.cooperative:
+            backlog = self._coop_backlog()
+            self._pump_mapping(1 if backlog <= 1 else 4 * backlog)
         return pose_dev
 
     def _track(self, frame: FrameData, timestamp: float) -> Optional[np.ndarray]:
@@ -1021,7 +1054,7 @@ class SlamSystem:
             self.map = self._jit_visibility(self.map, local.idx, pt_idx)
         else:
             self._pending_vis.append((local.idx, pt_idx))
-            if len(self._pending_vis) > 64:
+            if len(self._pending_vis) > 256:
                 self._pending_vis.pop(0)
         return pose, pt_idx, n_inl
 
@@ -1201,7 +1234,12 @@ class SlamSystem:
                 "MapConfig.max_keyframes",
             )
             return False
-        mapper_idle = self.mapper is None or self.mapper.idle
+        if self.mapper is not None:
+            mapper_idle = self.mapper.idle
+        elif self.cooperative:
+            mapper_idle = not self._coop_busy()
+        else:
+            mapper_idle = True
         fid = self.frame_id if frame_id is None else frame_id
         frames_since = fid - self.last_kf_frame_id
         # reference-match count = points in ref KF, cached host-side at the
@@ -1247,7 +1285,33 @@ class SlamSystem:
         # and, for stereo/RGB-D, insert anyway while the queue is short
         # (Tracking.cc:952-959)
         self.abort_ba = True
-        return self.sensor != "monocular" and self.mapper.queue_len() < 3
+        if self.sensor == "monocular":
+            return False
+        if self.cooperative:
+            # cooperative backpressure: drain the pipeline directly (no
+            # waiting — the work happens right here on this thread)
+            if self._coop_backlog() >= 3:
+                self._pump_mapping(32)
+            return self._coop_backlog() < 3
+        if self.mapper.queue_len() < 3:
+            return True
+        # Single-chip async backpressure: the reference's LocalMapping runs
+        # on its own core and essentially never falls 3 keyframes behind;
+        # on one time-sliced chip an unpaced tracker can outrun mapping,
+        # and silently skipping needed keyframes starves the map until
+        # tracking is lost.  Give the worker a bounded window to drain
+        # instead (the tracker sleeps, yielding the device and the GIL).
+        deadline = time.monotonic() + 0.5
+        while time.monotonic() < deadline:
+            time.sleep(0.005)
+            if self.mapper.queue_len() < 3:
+                return True
+        telemetry.warn(
+            "mapping_backlog",
+            "mapping queue still full after 500 ms backpressure window — "
+            "keyframe skipped (mapping cannot keep up with the frame rate)",
+        )
+        return False
 
     def _insert_keyframe_arrays(self, frame, pose, matched_pt, parent) -> int:
         kf_slot = self.n_kf
@@ -1349,6 +1413,8 @@ class SlamSystem:
             self.last_pt_idx = self.map.kf_point_idx[kf_slot]
         if self.mapper is not None:
             self.mapper.submit(kf_slot)
+        elif self.cooperative:
+            self._coop_pending.append(kf_slot)
         else:
             self._mapping_pipeline(kf_slot)
             # fusion may have merged landmarks the tracker references;
@@ -1365,144 +1431,244 @@ class SlamSystem:
         if self.loop_closing_enabled:
             self._try_close_loop(kf_slot)
 
-    def _mapping_core(self, kf_slot: int):
-        """The LocalMapping::Run body (LocalMapping.cc:44-104): triangulate,
-        fuse, cull, refresh statistics, local BA, keyframe culling.
+    # ------------------------------------------------- cooperative mapping
+    def _coop_busy(self) -> bool:
+        return self._coop_gen is not None or bool(self._coop_pending)
 
-        The covisibility matrix is computed once per keyframe and shared by
-        every stage (the reference's UpdateConnections caches neighbor lists
-        the same way, KeyFrame.cc:134-153); stages that change the
-        observation graph only strengthen the current keyframe's own edges,
-        which no later stage's neighbor query depends on exactly."""
-        covis = np.asarray(self._jit_covis(self.map))
+    def _coop_backlog(self) -> int:
+        return len(self._coop_pending) + (1 if self._coop_gen else 0)
+
+    def _pump_mapping(self, budget: int = 1):
+        """Advance the cooperative mapping pipeline by up to ``budget``
+        steps (each step = one bounded dispatch bundle or one host sync;
+        see _mapping_steps).  Called once per tracked frame."""
+        for _ in range(budget):
+            if self._coop_gen is None:
+                if not self._coop_pending:
+                    return
+                kf = self._coop_pending.pop(0)
+                self._coop_gen = self._coop_steps(kf)
+            try:
+                next(self._coop_gen)
+            except StopIteration:
+                self._coop_gen = None
+
+    def _coop_steps(self, kf_slot: int):
+        yield from self._mapping_steps(kf_slot)
+        if self.loop_closing_enabled:
+            yield
+            self._try_close_loop(kf_slot)
+
+    def _drain_mapping(self, max_steps: int = 10000):
+        """Run the cooperative pipeline to completion (shutdown/export)."""
+        steps = 0
+        while self._coop_busy() and steps < max_steps:
+            self._pump_mapping(16)
+            steps += 16
+
+    def _map_lock(self):
+        """Writer lock for map mutations (a no-op context in sync mode).
+
+        Lock-hold discipline: hold it only across a jit DISPATCH plus the
+        ``self.map`` attribute swap — dispatch is asynchronous, so the hold
+        time is milliseconds even for a 50 ms device program.  Host syncs
+        (np.asarray / int()) and device execution must happen OUTSIDE the
+        lock, or the tracker's keyframe insertion blocks for the whole
+        mapping pipeline (measured 500-700 ms/keyframe wall — the round-4
+        mean-vs-median gap)."""
+        import contextlib
+
+        if self.mapper is not None:
+            return self.mapper.write_lock
+        return contextlib.nullcontext()
+
+    def _mapping_core(self, kf_slot: int):
+        """The LocalMapping::Run body, run to completion (async worker and
+        sync mode).  Cooperative mode advances ``_mapping_steps`` one step
+        per tracked frame instead."""
+        for _ in self._mapping_steps(kf_slot):
+            pass
+
+    def _mapping_steps(self, kf_slot: int):
+        """The LocalMapping::Run body (LocalMapping.cc:44-104) as a
+        STEP GENERATOR: triangulate, fuse, cull, refresh statistics, local
+        BA (per-chunk), keyframe culling — yielding after each bounded unit
+        of device work.
+
+        The whole per-keyframe pipeline makes exactly TWO host syncs (the
+        triangulation-count reconcile and the keyframe-redundancy ratios);
+        neighbor/window/candidate selection happens on device
+        (mapping_work_sets).  The generator form is the single-chip analog
+        of the reference's second core (LocalMapping.cc:44): cooperative
+        mode pumps one step between frame dispatches, so no single mapping
+        program ever stalls the tracker for more than one bounded chunk,
+        and there is no cross-thread GIL/dispatch contention at all."""
+        mono = self.sensor == "monocular"
+        nn = self.cfg.map.fuse_neighbors or (20 if mono else 10)
+        n_nb = self.cfg.map.triangulate_neighbors or (20 if mono else 10)
+        t_cap = 3 * nn + 2
+        (tri_nb, fuse_slots, n_fuse, fuse_mask, window, fixed, cull_cands) = (
+            self._jit_work_sets(
+                self.map, jnp.int32(kf_slot), jnp.int32(self.ref_kf),
+                nn=nn, t_cap=t_cap, n_neighbors=n_nb,
+            )
+        )
+        yield
         # triangulate new landmarks with covisible neighbours
         # (CreateNewMapPoints; mono's only source of new points)
-        self._triangulate_new_points(kf_slot, covis=covis)
+        n_new_dev, pt_base = self._triangulate_new_points(kf_slot, tri_nb)
+        if n_new_dev is not None:
+            # start the scalar downloads now; the reconcile step reads them
+            # several yields later, after the transfers completed in the
+            # shadow of the intervening frames
+            n_new_dev.copy_to_host_async()
+            n_fuse.copy_to_host_async()
+        yield
         # fuse duplicates (SearchInNeighbors) and cull weak recent points
         # (MapPointCulling iterates mlpRecentAddedMapPoints only,
         # LocalMapping.cc:155-183 — the recent slice IS the reference set)
-        self._fuse_neighbors(kf_slot, covis=covis)
-        self.map = self._jit_cull_recent(
-            self.map, jnp.int32(kf_slot), jnp.int32(self.n_pt)
-        )
-        # refresh stats for exactly the points whose observation sets this
-        # keyframe touched (triangulated/fused points are all observed by
-        # kf_slot after fusion) — 64x cheaper than the full-bank refresh
-        self.map = self._jit_update_stats_subset(
-            self.map, self.map.kf_point_idx[kf_slot],
-            scale_factor=self.cfg.orb.scale_factor,
-            n_levels=self.cfg.orb.n_levels,
-        )
-        self._local_ba(kf_slot, covis=covis)
-        self._cull_keyframes(kf_slot, covis=covis)
+        self._fuse_neighbors(kf_slot, fuse_slots, fuse_mask, t_cap=t_cap)
+        yield
+        with self._map_lock():
+            self.map = self._jit_cull_recent(
+                self.map, jnp.int32(kf_slot), jnp.int32(self.n_pt)
+            )
+            # refresh stats for exactly the points whose observation sets
+            # this keyframe touched (triangulated/fused points are all
+            # observed by kf_slot after fusion) — 64x cheaper than the
+            # full-bank refresh
+            self.map = self._jit_update_stats_subset(
+                self.map, self.map.kf_point_idx[kf_slot],
+                scale_factor=self.cfg.orb.scale_factor,
+                n_levels=self.cfg.orb.n_levels,
+            )
+        yield
+        # sync point 1: reconcile the reserved triangulation slots (the
+        # device has long since produced the real count) + the fuse-target
+        # overflow telemetry, one fetch
+        self._reconcile_triangulation(n_new_dev, pt_base, n_fuse, t_cap)
+        yield
+        if self.n_kf >= 3:
+            self.abort_ba = False  # fresh run (LocalMapping.cc:66)
+            yield from self._windowed_ba_steps(window, fixed, 5, 10)
+            # keep the tracker's pose consistent with the adjusted keyframe
+            # (only safe when mapping runs on the tracking thread AND no
+            # newer frame is in flight: the async mapper / pipelined
+            # tracker must not move the live pose under the optimistic
+            # chain)
+            if self.mapper is None and not self._inflight:
+                self.last_pose = self.map.kf_pose[kf_slot]
+        yield
+        ratios_dev = None
+        if self.n_kf >= 5:
+            # dispatch the redundancy ratios and start their download one
+            # step ahead of the (host-side) culling decision
+            ratios_dev = self._jit_kf_redundancy_batch(
+                self.map, jnp.clip(cull_cands, 0)
+            )
+            cull_cands.copy_to_host_async()
+            ratios_dev.copy_to_host_async()
+            yield
+        self._cull_keyframes(kf_slot, cull_cands, ratios_dev=ratios_dev)
 
-    def _fuse_neighbors(self, kf_slot: int, covis=None):
+    def _fuse_neighbors(self, kf_slot: int, fuse_slots, fuse_mask, *,
+                        t_cap: int):
         """SearchInNeighbors (LocalMapping.cc:425-509): both-direction
         landmark fusion over the 1st ring (10 covisible neighbors; 20 for
         monocular) plus each neighbor's 5-neighbor 2nd ring — the current
         keyframe's landmarks are fused into every target, then all targets'
-        landmarks into the current keyframe."""
+        landmarks into the current keyframe.  ``fuse_slots``/``fuse_mask``
+        come from mapping_work_sets (device, no host sync)."""
         if self.n_kf < 2:
             return
-        if covis is None:
-            covis = np.asarray(self._jit_covis(self.map))
-        kf_valid = np.asarray(self.map.kf_valid)
-        nn = self.cfg.map.fuse_neighbors or (
-            20 if self.sensor == "monocular" else 10
-        )
-        row = covis[kf_slot]
-        first = [int(i) for i in np.argsort(-row)[:nn]
-                 if row[i] > 0 and kf_valid[i]]
-        targets = list(first)
-        seen = set(first) | {kf_slot}
-        for i in first:
-            r2 = covis[i]
-            for j in np.argsort(-r2)[:5]:
-                j = int(j)
-                if r2[j] > 0 and j not in seen and kf_valid[j]:
-                    targets.append(j)
-                    seen.add(j)
-        if not targets:
-            return
-        K, N, P, O = self.map.capacity
         # direction 1: this keyframe's landmarks into each target — all
         # targets in ONE scanned program (one dispatch, not ~25), with the
         # candidate set passed compactly (C = N feature slots, not a P mask)
-        cur_pt = self.map.kf_point_idx[kf_slot]
-        # first ring + 5-neighbor second rings; the rings overlap heavily in
-        # practice, so the scan is padded to 3*nn+2 targets (≈2.8 ms/slot on
-        # v5e — the theoretical 6*nn worst case would double mapping's
-        # fuse cost for slots that are almost always masked out)
-        t_cap = 3 * nn + 2
-        if len(targets) > t_cap:
-            telemetry.warn(
-                "fuse_target_overflow",
-                f"SearchInNeighbors has {len(targets)} fuse targets; only "
-                f"{t_cap} scanned (densely covisible graph — raise "
-                "MapConfig.fuse_neighbors ring budget)",
+        with self._map_lock():
+            cur_pt = self.map.kf_point_idx[kf_slot]
+            self.map = self._jit_fuse_multi(
+                self.map, fuse_slots, self.cam, None,
+                budget=1024, scale_factor=self.cfg.orb.scale_factor,
+                n_levels=self.cfg.orb.n_levels, cand_idx=cur_pt,
             )
-        slots = np.full(t_cap, -1, np.int32)
-        slots[:min(len(targets), t_cap)] = targets[:t_cap]
-        self.map = self._jit_fuse_multi(
-            self.map, jnp.asarray(slots), self.cam, None,
-            budget=1024, scale_factor=self.cfg.orb.scale_factor,
-            n_levels=self.cfg.orb.n_levels, cand_idx=cur_pt,
-        )
-        # direction 2: all targets' landmarks into this keyframe
-        tgt_kf = np.zeros(K, bool)
-        tgt_kf[targets] = True
-        obs_in_tgt = jnp.take(
-            jnp.asarray(tgt_kf), jnp.clip(self.map.pt_obs_kf, 0)
-        ) & (self.map.pt_obs_kf >= 0)
-        tgt_mask = self.map.pt_valid & jnp.any(obs_in_tgt, axis=1)
-        self.map = self._jit_fuse_masked(
-            self.map, jnp.int32(kf_slot), self.cam, tgt_mask,
-            budget=2048, scale_factor=self.cfg.orb.scale_factor,
-            n_levels=self.cfg.orb.n_levels,
-        )
+            # direction 2: all targets' landmarks into this keyframe.
+            # Membership via comparison against the <= t_cap slot list —
+            # a full-bank take(mask, pt_obs_kf) is a 2M random gather
+            # that XLA lowers pathologically on TPU.
+            obs = self.map.pt_obs_kf
+            obs_in_tgt = jnp.any(
+                obs[:, :, None] == fuse_slots[None, None, :], axis=-1
+            ) & (obs >= 0)
+            tgt_mask = self.map.pt_valid & jnp.any(obs_in_tgt, axis=1)
+            self.map = self._jit_fuse_masked(
+                self.map, jnp.int32(kf_slot), self.cam, tgt_mask,
+                budget=2048, scale_factor=self.cfg.orb.scale_factor,
+                n_levels=self.cfg.orb.n_levels,
+            )
 
-    def _triangulate_new_points(self, kf_slot: int, n_neighbors: int = 0,
-                                covis=None):
+    def _triangulate_new_points(self, kf_slot: int, neighbors):
+        """CreateNewMapPoints over the device-selected neighbor list
+        (mapping_work_sets tri_neighbors; covis weight > 15)."""
         if self.n_kf < 2:
-            return
-        if not n_neighbors:
-            # nn=10 covisible neighbors, 20 for monocular
-            # (CreateNewMapPoints, LocalMapping.cc:189-192)
-            n_neighbors = self.cfg.map.triangulate_neighbors or (
-                20 if self.sensor == "monocular" else 10
-            )
-        if covis is None:
-            covis = self._jit_covis(self.map)
-        row = np.asarray(covis[kf_slot])
-        order = np.argsort(-row)[:n_neighbors]
-        neighbors = np.full(n_neighbors, -1, np.int32)
-        sel = order[row[order] > 15]
-        neighbors[: len(sel)] = sel
+            return None, 0
         # mono requires a baseline >= 1% of median depth (LocalMapping.cc:219)
         min_bl = 0.01 if self.sensor == "monocular" else 0.005
         cap = self.map.pt_pos.shape[0]
+        n_res = 64 * int(neighbors.shape[0])
         # all neighbors triangulated in ONE scanned program; the kernel stops
-        # allocating when the bank can't hold another max_new batch
-        self.map, n_new = self._jit_triangulate_multi(
-            self.map, jnp.int32(kf_slot), jnp.asarray(neighbors), self.cam,
-            jnp.int32(self.n_pt), max_new=64,
-            scale_factor=self.cfg.orb.scale_factor,
-            n_levels=self.cfg.orb.n_levels,
-            min_baseline_ratio=min_bl,
-        )
-        self.n_pt += int(n_new)
+        # allocating when the bank can't hold another max_new batch.
+        # Slot allocation is RESERVED optimistically (worst case per
+        # neighbor) so the count sync can happen outside the writer lock;
+        # _reconcile_triangulation returns the unused tail if no other
+        # allocation landed in between.
+        with self._map_lock():
+            pt_base = self.n_pt
+            self.map, n_new = self._jit_triangulate_multi(
+                self.map, jnp.int32(kf_slot), neighbors,
+                self.cam, jnp.int32(pt_base), max_new=64,
+                scale_factor=self.cfg.orb.scale_factor,
+                n_levels=self.cfg.orb.n_levels,
+                min_baseline_ratio=min_bl,
+            )
+            reserved_end = min(pt_base + n_res, cap)
+            self.n_pt = reserved_end
+        self._tri_reserved_end = reserved_end
         if self.n_pt >= cap - 64:
             telemetry.warn(
                 "pt_capacity",
                 f"map-point bank full ({self.n_pt}/{cap}) — triangulation "
                 "suspended; raise MapConfig.max_points",
             )
+        return n_new, pt_base
+
+    def _reconcile_triangulation(self, n_new_dev, pt_base: int,
+                                 n_fuse_dev=None, t_cap: int = 0):
+        """Release the optimistically reserved triangulation slots (if no
+        other allocation happened since, shrink n_pt to the real count)
+        and surface the fuse-target overflow telemetry — ONE host fetch."""
+        if n_new_dev is None:
+            return
+        if n_fuse_dev is not None:
+            n_new, n_fuse = (int(x) for x in jax.device_get(
+                (n_new_dev, n_fuse_dev)))
+            if n_fuse > t_cap:
+                telemetry.warn(
+                    "fuse_target_overflow",
+                    f"SearchInNeighbors has {n_fuse} fuse targets; only "
+                    f"{t_cap} scanned (densely covisible graph — raise "
+                    "MapConfig.fuse_neighbors ring budget)",
+                )
+        else:
+            n_new = int(n_new_dev)      # device sync — OUTSIDE the lock
+        with self._map_lock():
+            if self.n_pt == self._tri_reserved_end:
+                self.n_pt = pt_base + n_new
 
     # ------------------------------------------------------------ local BA
     def _run_ba_chunked(
         self, prob, iters1: int, iters2: int, *,
         solver: str = "dense", n_cg: int = 0, chunk: int = 5,
-        should_stop=None,
+        should_stop=None, yield_device: bool = False,
     ):
         """Run the two-phase LM schedule as host-polled jitted chunks.
 
@@ -1525,6 +1691,15 @@ class SlamSystem:
                     cam, prob, poses, points, lam,
                     n_iters=k, use_huber=True, solver=solver, n_cg=n_cg,
                 )
+                if yield_device:
+                    # wait for this chunk before enqueueing the next: on one
+                    # chip the device runs programs in submission order, so
+                    # an unbounded mapping backlog would stall the tracker's
+                    # next per-frame dispatch behind it.  Blocking per chunk
+                    # caps the tracker's queueing delay at one chunk
+                    # (~tens of ms) — the single-chip analog of mapping
+                    # running on its own core (LocalMapping.cc:44).
+                    jax.block_until_ready(lam)
                 done += k
                 if should_stop is not None and done < n and should_stop():
                     stopped = True
@@ -1549,17 +1724,76 @@ class SlamSystem:
 
     def _windowed_ba(self, window_mask, fixed_mask, iters1: int, iters2: int,
                      abortable: bool = False):
-        """Compact-window BA: gather the covisibility subgraph into small
-        static arrays, dense Schur solve, scatter results back.  Cost scales
-        with the window, not with map capacity.  ``abortable``: poll the
-        tracker's ``abort_ba`` flag between LM chunks (mbAbortBA) — partial
-        progress is still written back, as in the reference."""
+        """Compact-window BA run to completion (see _windowed_ba_steps).
+        ``abortable``: poll the tracker's ``abort_ba`` flag between LM
+        chunks (mbAbortBA) — partial progress is still written back, as in
+        the reference."""
+        for _ in self._windowed_ba_steps(window_mask, fixed_mask,
+                                         iters1, iters2,
+                                         abortable=abortable):
+            pass
+
+    def _windowed_ba_steps(self, window_mask, fixed_mask,
+                           iters1: int, iters2: int, abortable: bool = True):
+        """Compact-window BA as a step generator: gather the covisibility
+        subgraph into small static arrays, dense Schur solve per LM chunk,
+        scatter results back.  Cost scales with the window, not with map
+        capacity.  Yields after the gather and after every LM chunk; the
+        tracker's ``abort_ba`` flag is honoured between chunks (mbAbortBA,
+        partial progress still written back, Optimizer.cc:650-694)."""
         mcfg = self.cfg.map
         prob, kf_sel, pt_sel, obs_sel, n_pt_in = self._jit_gather_ba(
             self.map, window_mask, fixed_mask, self.inv_sigma2_table,
             max_kfs=mcfg.local_ba_max_kfs, max_points=mcfg.local_ba_max_points,
             max_obs=mcfg.local_ba_max_obs,
         )
+        # start the overflow-telemetry download without blocking; read it
+        # after the LM chunks (the transfer completes in their shadow)
+        n_pt_in.copy_to_host_async()
+        yield
+        cam = self.cam
+        poses, points, lam = prob.kf_poses, prob.points, jnp.float32(1e-4)
+        chunk = 5
+        stopped = False
+
+        def chunks(n, poses, points, lam):
+            nonlocal stopped
+            done = 0
+            while done < n and not stopped:
+                k = min(chunk, n - done)
+                poses, points, lam = self._jit_lm_chunk(
+                    cam, prob, poses, points, lam,
+                    n_iters=k, use_huber=True, solver="dense", n_cg=0,
+                )
+                if self.mapper is not None:
+                    # async worker: wait for this chunk before enqueueing
+                    # the next — on one chip the device runs programs in
+                    # submission order, and an unbounded mapping backlog
+                    # would stall the tracker's next dispatch behind it
+                    # (cooperative mode gets this spacing for free from
+                    # the per-frame pump cadence)
+                    jax.block_until_ready(lam)
+                done += k
+                yield poses, points, lam
+                if abortable and done < n and self.abort_ba:
+                    stopped = True
+
+        for poses, points, lam in chunks(iters1, poses, points, lam):
+            yield
+        if iters2 > 0 and not stopped:
+            new_valid = self._jit_classify_outliers(cam, prob, poses, points)
+            prob = prob._replace(obs_valid=new_valid)
+            yield
+            for poses, points, lam in chunks(
+                iters2, poses, points, jnp.float32(1e-4)
+            ):
+                yield
+        final_valid = self._jit_classify_outliers(cam, prob, poses, points)
+        with self._map_lock():
+            self.map = self._jit_scatter_ba(
+                self.map, prob, kf_sel, pt_sel, obs_sel,
+                poses, points, final_valid,
+            )
         if int(n_pt_in) > mcfg.local_ba_max_points:
             telemetry.warn(
                 "local_ba_point_overflow",
@@ -1567,15 +1801,6 @@ class SlamSystem:
                 f"{mcfg.local_ba_max_points} optimized (raise "
                 f"MapConfig.local_ba_max_points)",
             )
-        should_stop = (lambda: self.abort_ba) if abortable else None
-        result, _ = self._run_ba_chunked(
-            prob, iters1, iters2, solver="dense", chunk=5,
-            should_stop=should_stop,
-        )
-        self.map = self._jit_scatter_ba(
-            self.map, prob, kf_sel, pt_sel, obs_sel,
-            result.kf_poses, result.points, result.obs_valid,
-        )
 
     def _global_ba(self, window_mask, fixed_mask, iters: int):
         """Full-map BA with the matrix-free Schur-PCG solver
@@ -1594,23 +1819,24 @@ class SlamSystem:
             self.map, result.kf_poses, result.points, result.obs_valid, prob
         )
 
-    def _local_ba(self, kf_slot: int, covis=None):
+    def _local_ba(self, kf_slot: int, window_mask=None, fixed_mask=None):
         """Covisibility-window BA (Optimizer::LocalBundleAdjustment),
-        interruptible by the tracker's abort flag in async mode."""
+        interruptible by the tracker's abort flag in async mode.
+        ``window_mask``/``fixed_mask`` come from mapping_work_sets (device,
+        top-20 covisible + self, origin never moves); computed on demand
+        for direct callers."""
         if self.n_kf < 3:
             return
-        if covis is None:
+        if window_mask is None:
             covis = self._jit_covis(self.map)
-        row = np.asarray(covis[kf_slot])
-        window = np.zeros(row.shape[0], bool)
-        window[kf_slot] = True
-        neighbors = np.argsort(-row)[:20]
-        window[neighbors[row[neighbors] > 0]] = True
-        window[0] = False  # never move the origin keyframe
-        window_mask = jnp.asarray(window)
-        # fixed: any valid KF not in window that observes window points
-        # (gather_ba_window keeps the most-constraining boundary KFs)
-        fixed_mask = jnp.asarray(~window) & self.map.kf_valid
+            row = np.asarray(covis[kf_slot])
+            window = np.zeros(row.shape[0], bool)
+            window[kf_slot] = True
+            neighbors = np.argsort(-row)[:20]
+            window[neighbors[row[neighbors] > 0]] = True
+            window[0] = False  # never move the origin keyframe
+            window_mask = jnp.asarray(window)
+            fixed_mask = jnp.asarray(~window) & self.map.kf_valid
         self.abort_ba = False  # fresh run (LocalMapping.cc:66)
         self._windowed_ba(window_mask, fixed_mask, 5, 10,
                           abortable=self.mapper is not None)
@@ -1741,33 +1967,38 @@ class SlamSystem:
             # tracker re-anchors at its next frame boundary
             self._pending_pose_jump = int(self.ref_kf)
 
-    def _cull_keyframes(self, kf_slot: int, covis=None):
+    def _cull_keyframes(self, kf_slot: int, cull_cands=None, ratios_dev=None):
         """KeyFrameCulling: drop covisible keyframes with >= 90% redundant
         landmarks (LocalMapping.cc:595-655).
 
         All candidates' redundancy ratios are evaluated in ONE batched
-        program (vmapped keyframe_redundancy); ratios are re-evaluated only
+        program (vmapped keyframe_redundancy) over the device-selected
+        candidate list (mapping_work_sets; covis >= 15, excluding
+        origin/self/ref); candidates + ratios download in one fetch —
+        mapping's second and last host sync.  Ratios are re-evaluated only
         when an earlier candidate in the same round was actually culled
-        (culling removes observations, which can only lower other ratios)."""
+        (culling removes observations, which can only lower other
+        ratios)."""
         if self.n_kf < 5:
             return
-        if covis is None:
+        if cull_cands is None:
             covis = np.asarray(self._jit_covis(self.map))
-        candidates = np.where(covis[kf_slot] >= 15)[0]
-        candidates = [
-            int(c) for c in candidates
-            if c != 0 and c != kf_slot and c != self.ref_kf
-        ]
+            cands = np.where(covis[kf_slot] >= 15)[0]
+            cands = [int(c) for c in cands
+                     if c != 0 and c != kf_slot and c != self.ref_kf][:32]
+            cull_cands = jnp.asarray(
+                np.pad(np.asarray(cands, np.int32), (0, 32 - len(cands)),
+                       constant_values=-1)
+            )
+        if ratios_dev is None:
+            ratios_dev = self._jit_kf_redundancy_batch(
+                self.map, jnp.clip(cull_cands, 0)
+            )
+        cands_np, ratios_full = jax.device_get((cull_cands, ratios_dev))
+        candidates = [int(c) for c in cands_np if c >= 0]
         if not candidates:
             return
-        # pad to a fixed batch so the vmapped program compiles once
-        cap = 32
-        candidates = candidates[:cap]
-        padded = np.zeros(cap, np.int32)
-        padded[: len(candidates)] = candidates
-        ratios = np.asarray(
-            self._jit_kf_redundancy_batch(self.map, jnp.asarray(padded))
-        )[: len(candidates)]
+        ratios = ratios_full[: len(candidates)]
         parents = np.asarray(self.map.kf_parent)
         culled_this_round = False
         for cand, ratio in zip(candidates, ratios):
@@ -1785,13 +2016,14 @@ class SlamSystem:
                 self.map.kf_pose[cand] @ se3.inv(self.map.kf_pose[parent])
             )
             self.culled_chain[cand] = (T_cp, parent)
-            # re-parent children to the culled keyframe's parent
-            children = np.where(parents == cand)[0]
-            new_parent = self.map.kf_parent
-            for ch in children:
-                new_parent = new_parent.at[int(ch)].set(parent)
-            self.map = self.map._replace(kf_parent=new_parent)
-            self.map = self._jit_remove_kf(self.map, jnp.int32(cand))
+            with self._map_lock():
+                # re-parent children to the culled keyframe's parent
+                children = np.where(parents == cand)[0]
+                new_parent = self.map.kf_parent
+                for ch in children:
+                    new_parent = new_parent.at[int(ch)].set(parent)
+                self.map = self.map._replace(kf_parent=new_parent)
+                self.map = self._jit_remove_kf(self.map, jnp.int32(cand))
             if self.db is not None:
                 self.db.erase(cand)
             parents = np.asarray(self.map.kf_parent)
@@ -1912,10 +2144,11 @@ class SlamSystem:
         if self.db is None or self.n_kf < self.cfg.loop.kf_gap + 2:
             return False
         covis_dev = self._jit_covis(self.map)
-        covis = np.asarray(covis_dev)
+        # detect downloads only candidate ROWS (usually none) — the full
+        # (K, K) matrix costs ~50 ms/keyframe through a degraded tunnel
         bow = self.db.bow[kf_slot]
         cands = LC.detect(
-            self.loop_state, self.db, covis, kf_slot, bow,
+            self.loop_state, self.db, None, kf_slot, bow,
             kf_gap=self.cfg.loop.kf_gap,
             consistency_th=self.cfg.loop.covisibility_consistency_th,
             covis_dev=covis_dev,
@@ -1941,8 +2174,9 @@ class SlamSystem:
                 jnp.asarray(R_cm), jnp.asarray(t_cm),
                 jnp.asarray(np.float32(s_cm)), *S_mw,
             )
+            cand_row = np.asarray(covis_dev[cand])
             group_mask = jnp.asarray(
-                (covis[cand] >= 15) | (np.arange(covis.shape[0]) == cand)
+                (cand_row >= 15) | (np.arange(cand_row.shape[0]) == cand)
             ) & self.map.kf_valid
             n_total = LC.count_loop_projection_matches(
                 self.map, self.cam, kf_slot, group_mask, *S_cw,
@@ -2164,12 +2398,21 @@ class SlamSystem:
         return chain @ kf_poses[kf]
 
     def shutdown(self):
-        """Drain the mapping thread (System::Shutdown, System.cc:336-353)."""
+        """Drain the mapping pipeline (System::Shutdown, System.cc:336-353)."""
         self.flush_pipeline()
+        self._drain_mapping()
         if self.mapper is not None:
             self.mapper.wait_idle(timeout=300)
             self.mapper.shutdown()
             self.mapper = None
+
+    def wait_mapping_idle(self, timeout: float = 60.0) -> bool:
+        """Block until mapping (async worker or cooperative pipeline) has
+        consumed every queued keyframe.  Benchmark/health hook."""
+        self._drain_mapping()
+        if self.mapper is not None:
+            return self.mapper.wait_idle(timeout=timeout)
+        return not self._coop_busy()
 
     def tracked_logs(self) -> list[FrameLog]:
         """Frame logs with a pose, i.e. excluding lost frames — lost frames
