@@ -99,6 +99,10 @@ def main(argv=None):
     ap.add_argument("--out-kf", default=None, help="keyframe trajectory path")
     ap.add_argument("--async-mapping", action="store_true",
                     help="run local mapping / loop closing on a worker thread")
+    ap.add_argument("--coop", action="store_true",
+                    help="cooperative mapping: bounded mapping steps pumped "
+                         "between frame dispatches (single-chip production "
+                         "mode; see system._mapping_steps)")
     ap.add_argument("--pipelined", action="store_true",
                     help="optimistic lag-1 dispatch: per-frame gates resolve "
                          "one frame late (production throughput config)")
@@ -123,7 +127,9 @@ def main(argv=None):
 
     cfg = _config(args)
     slam = SlamSystem(cfg, async_mapping=args.async_mapping,
-                      pipelined=args.pipelined)
+                      pipelined=args.pipelined or args.coop,
+                      pipeline_depth=3 if args.coop else 1,
+                      cooperative_mapping=args.coop)
     sensor = _sensor(args.mode)
     seq = _sequence(args, cfg)
 
