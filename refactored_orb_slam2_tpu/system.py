@@ -732,9 +732,14 @@ class SlamSystem:
         # it measures bit-identical to sync mode.  Depth d>1 keeps d frames
         # in flight: keyframe insertion lands up to d-1 frames late and the
         # frames dispatched in between track against the pre-keyframe map —
-        # the same staleness the reference tolerates between its tracking
-        # and mapping threads (measured on the tum_room fixture: depth 3 +
-        # async mapping holds ATE parity; see BASELINE.md)
+        # the same staleness class the reference tolerates between its
+        # tracking and mapping threads, but NOT free: on the tum_room
+        # fixture depth 3 + cooperative mapping measured ATE 0.104 m vs
+        # 0.0027 m at sync/depth-1 (round-5 measurement, BASELINE.md) —
+        # transient pose spikes from frames chained on optimistic state
+        # across map updates.  Use depth 1 when trajectory accuracy is the
+        # objective; deeper pipelines buy throughput on high-latency
+        # dispatch paths.
         depth = self.pipeline_depth
         while len(self._inflight) >= depth:
             rec = self._inflight.pop(0)

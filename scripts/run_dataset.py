@@ -103,6 +103,10 @@ def main(argv=None):
                     help="cooperative mapping: bounded mapping steps pumped "
                          "between frame dispatches (single-chip production "
                          "mode; see system._mapping_steps)")
+    ap.add_argument("--depth", type=int, default=1,
+                    help="pipeline depth with --coop (1 = commit each frame "
+                         "before the next dispatch, sync-identical gates; "
+                         "3 = deepest overlap, keyframe decisions land late)")
     ap.add_argument("--pipelined", action="store_true",
                     help="optimistic lag-1 dispatch: per-frame gates resolve "
                          "one frame late (production throughput config)")
@@ -128,7 +132,7 @@ def main(argv=None):
     cfg = _config(args)
     slam = SlamSystem(cfg, async_mapping=args.async_mapping,
                       pipelined=args.pipelined or args.coop,
-                      pipeline_depth=3 if args.coop else 1,
+                      pipeline_depth=args.depth if args.coop else 1,
                       cooperative_mapping=args.coop)
     sensor = _sensor(args.mode)
     seq = _sequence(args, cfg)

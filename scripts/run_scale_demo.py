@@ -37,16 +37,29 @@ N_FRAMES = int(os.environ.get("SCALE_FRAMES", "700"))
 LAPS = N_FRAMES / 140.0
 
 
+DF = 4.0   # tracker-side focal miscalibration (px): accumulates real
+           # metric drift around the circuit so the revisit is NOT already
+           # covisibility-connected and loop detection genuinely fires
+           # (same protocol as tests/test_loop_e2e.py; with a perfect
+           # calibration this renderer tracks so accurately that the
+           # reference would suppress detection too,
+           # KeyFrameDatabase.cc:91-99)
+
+
 def main():
     cfg = SystemConfig(
         sensor="stereo",
-        camera=CameraConfig(fx=320.0, fy=320.0, cx=160.0, cy=120.0, bf=120.0,
-                            width=320, height=240, fps=10),
+        camera=CameraConfig(fx=320.0 + DF, fy=320.0 + DF, cx=160.0, cy=120.0,
+                            bf=120.0, width=320, height=240, fps=10),
         orb=ORBConfig(n_features=1000, n_levels=4),
         map=MapConfig(max_keyframes=2048, max_points=262144,
                       max_obs_per_point=16,
                       local_ba_max_kfs=64, local_ba_max_points=8192),
     )
+    from refactored_orb_slam2_tpu.geometry.camera import Camera
+
+    cam_true = Camera.create(fx=320.0, fy=320.0, cx=160.0, cy=120.0,
+                             bf=120.0, width=320, height=240)
     sys_ = SlamSystem(cfg, pipelined=True)
     world = W.scene_street(seed=41, block=BLOCK, road_w=ROAD_W)
     poses = W.traj_street_loop(N_FRAMES, block=BLOCK, road_w=ROAD_W,
@@ -66,7 +79,7 @@ def main():
     lost = 0
     t_all = time.perf_counter()
     for i, Tcw in enumerate(poses):
-        L, R = world.render_stereo(Tcw, sys_.cam, noise=2.0, rng=rng)
+        L, R = world.render_stereo(Tcw, cam_true, noise=2.0, rng=rng)
         if sys_.track_stereo(L, R, i * 0.1) is None:
             lost += 1
         if (i + 1) % 100 == 0:

@@ -43,7 +43,10 @@ def make_cfg():
         # 70/100 close-point bars, Tracking.cc:919); run the same budget
         orb=ORBConfig(n_features=1000, n_levels=4),
         map=MapConfig(
-            max_keyframes=128, max_points=16384, max_obs_per_point=12,
+            # 24k points: the circuit builds ~16k landmarks, and a
+            # saturated bank suspends triangulation exactly at the revisit
+            # (fresh observations there feed the BoW consistency chain)
+            max_keyframes=160, max_points=24576, max_obs_per_point=12,
             fuse_neighbors=4, triangulate_neighbors=4,
         ),
         loop=LoopConfig(),
@@ -57,10 +60,12 @@ class TestLoopClosureE2E:
         cam_true = Camera.create(fx=320.0, fy=320.0, cx=160.0, cy=120.0,
                                  bf=120.0, width=320, height=240)
         world = W.scene_street(seed=41, block=BLOCK, road_w=ROAD_W)
-        # 1.14 laps: the loop-consistency gate needs a few keyframes past
-        # the revisit point to chain 3 consistent detections
+        # 1.27 laps: the loop-consistency gate needs several keyframes past
+        # the revisit point to chain 3 consistent detections (the chain is
+        # rebuilt from scratch whenever a keyframe yields no candidates,
+        # LoopClosing.cc:139-193)
         poses = W.traj_street_loop(
-            125, block=BLOCK, road_w=ROAD_W, seed=41, laps=125 / 110.0
+            140, block=BLOCK, road_w=ROAD_W, seed=41, laps=140 / 110.0
         )
         sys_ = SlamSystem(cfg)
         rng = np.random.default_rng(6)
