@@ -27,6 +27,8 @@ if os.environ.get("JAX_PLATFORMS"):
 
     jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -34,38 +36,17 @@ import numpy as np
 from refactored_orb_slam2_tpu.optim.pose_graph import (
     make_edges_from_poses, optimize_pose_graph,
 )
-from refactored_orb_slam2_tpu.geometry import sim3 as sim3_mod
 
+# reuse the suite's validated drift fixture (chained noisy odometry
+# relatives + a true loop edge) so convergence here matches the unit tests
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "tests"))
+from test_pose_graph import circle_graph  # noqa: E402
 
-def circle_graph(n, drift=0.015, seed=5):
-    """Ground-truth ring of n poses + a drifted estimate (accumulated odom
-    noise), mirroring tests/test_pose_graph.py's fixture."""
-    rng = np.random.default_rng(seed)
-    ang = np.linspace(0, 2 * np.pi, n, endpoint=False)
-    radius = n / (2 * np.pi)
-    centers = np.stack(
-        [radius * np.cos(ang), np.zeros(n), radius * np.sin(ang)], axis=1
-    )
-    R_gt = np.zeros((n, 3, 3), np.float32)
-    t_gt = np.zeros((n, 3), np.float32)
-    for k in range(n):
-        yaw = ang[k]
-        Rwc = np.asarray([
-            [np.cos(yaw), 0, np.sin(yaw)],
-            [0, 1, 0],
-            [-np.sin(yaw), 0, np.cos(yaw)],
-        ], np.float32)
-        R_gt[k] = Rwc.T
-        t_gt[k] = -Rwc.T @ centers[k]
-    s_gt = np.ones(n, np.float32)
-
-    R_est = R_gt.copy()
-    t_est = t_gt.copy()
-    err = np.zeros(3, np.float32)
-    for k in range(1, n):
-        err += rng.normal(0, drift, 3).astype(np.float32)
-        t_est[k] = t_gt[k] + R_gt[k] @ err
-    return (R_gt, t_gt, s_gt), (R_est, t_est, np.ones(n, np.float32))
+_solve = jax.jit(
+    optimize_pose_graph,
+    static_argnames=("fix_scale", "n_iters", "solver", "n_cg"),
+)
 
 
 def build_graph(n):
@@ -83,7 +64,9 @@ def centers(Rm, tm, sm):
 
 
 def run_one(n, solver, n_iters=20):
-    (R_gt, t_gt, s_gt), (R_est, t_est, s_est) = circle_graph(n)
+    (R_gt, t_gt, s_gt), (R_est, t_est, s_est) = circle_graph(
+        n, drift=0.015, seed=5
+    )
     ii, jj = build_graph(n)
     edges = make_edges_from_poses(
         ii, jj, jnp.asarray(R_gt), jnp.asarray(t_gt), jnp.asarray(s_gt),
@@ -94,9 +77,7 @@ def run_one(n, solver, n_iters=20):
             jnp.ones(n, bool), fixed, edges)
 
     def solve():
-        return optimize_pose_graph(
-            *args, fix_scale=True, solver=solver, n_iters=n_iters
-        )
+        return _solve(*args, fix_scale=True, solver=solver, n_iters=n_iters)
 
     # compile + warm
     R, t, s = solve()
